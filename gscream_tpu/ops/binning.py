@@ -1,0 +1,91 @@
+"""Tile binning: per-gaussian tile rects → depth-sorted per-tile instance lists.
+
+TPU-native replacement for the reference's CUB pipeline
+(``rasterizer_impl.cu:199-347``): prefix-sum of ``tiles_touched``,
+``duplicateWithKeys`` 64-bit key emission, radix sort, ``identifyTileRanges``.
+
+Design for XLA (static shapes, SURVEY.md §7 hard part 2):
+
+* instance *emission* is inverted — instead of each gaussian scattering a
+  variable number of records, every output slot looks up its source gaussian
+  with a vectorized ``searchsorted`` over the exclusive prefix sum of rect
+  areas.  Slot order is identical to the reference's emission order
+  (gaussian-major, row-major within each rect, rasterizer_impl.cu:70-111);
+* the 64-bit ``tile<<32|depth`` radix sort becomes two stable 32-bit sorts
+  (stable by depth, then stable by tile) — same resulting order;
+* capacity is static; overflow is *reported*, never silent (the caller can
+  retry with the next capacity tier).
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .projection import Splats
+
+
+class Binning(NamedTuple):
+    gauss_id: jnp.ndarray    # (capacity,) int32 source gaussian per instance slot
+    tile_id: jnp.ndarray     # (capacity,) int32 sorted tile per slot (num_tiles = invalid)
+    tile_start: jnp.ndarray  # (num_tiles,) int32 first slot of each tile
+    tile_count: jnp.ndarray  # (num_tiles,) int32 instances in each tile
+    num_instances: jnp.ndarray  # () int32 total emitted (may exceed capacity!)
+
+
+def num_tiles(width: int, height: int, tile_w: int, tile_h: int) -> int:
+    return (-(-width // tile_w)) * (-(-height // tile_h))
+
+
+@partial(jax.jit, static_argnames=("capacity", "width", "height",
+                                   "tile_w", "tile_h"))
+def bin_instances(splats: Splats, capacity: int, width: int, height: int,
+                  tile_w: int, tile_h: int) -> Binning:
+    """Build depth-sorted per-tile instance lists with static capacity.
+
+    If ``num_instances > capacity`` the trailing instances (highest gaussian
+    indices in emission order) are dropped deterministically; callers must
+    check and re-run at a larger capacity tier for exact rendering.
+    """
+    grid_x = -(-width // tile_w)
+    n_tiles = num_tiles(width, height, tile_w, tile_h)
+
+    rect_w = (splats.rect_max[:, 0] - splats.rect_min[:, 0])
+    rect_h = (splats.rect_max[:, 1] - splats.rect_min[:, 1])
+    area = jnp.where(splats.radius > 0, rect_w * rect_h, 0)
+
+    offsets = jnp.cumsum(area) - area            # exclusive prefix sum
+    total = offsets[-1] + area[-1]
+
+    slot = jnp.arange(capacity, dtype=jnp.int32)
+    # source gaussian of each slot: rightmost g with offsets[g] <= slot
+    g = jnp.searchsorted(offsets, slot, side='right').astype(jnp.int32) - 1
+    g = jnp.clip(g, 0, area.shape[0] - 1)
+    local = slot - offsets[g]
+    rw = jnp.maximum(rect_w[g], 1)
+    tile_x = splats.rect_min[g, 0] + local % rw
+    tile_y = splats.rect_min[g, 1] + local // rw
+    tile = tile_y * grid_x + tile_x
+
+    valid = slot < jnp.minimum(total, capacity)
+    tile = jnp.where(valid, tile, n_tiles).astype(jnp.int32)
+    depth_key = jnp.where(valid, splats.depth[g], jnp.inf)
+
+    # stable (tile, depth) order via two stable passes
+    order1 = jnp.argsort(depth_key, stable=True)
+    tile1 = tile[order1]
+    order2 = jnp.argsort(tile1, stable=True)
+    sorted_tile = tile1[order2]
+    sorted_gauss = g[order1][order2]
+
+    tids = jnp.arange(n_tiles, dtype=jnp.int32)
+    tile_start = jnp.searchsorted(sorted_tile, tids, side='left').astype(jnp.int32)
+    tile_end = jnp.searchsorted(sorted_tile, tids, side='right').astype(jnp.int32)
+
+    return Binning(gauss_id=sorted_gauss.astype(jnp.int32),
+                   tile_id=sorted_tile,
+                   tile_start=tile_start,
+                   tile_count=tile_end - tile_start,
+                   num_instances=total.astype(jnp.int32))
