@@ -22,6 +22,7 @@ from __future__ import annotations
 import math
 from typing import NamedTuple, Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -83,11 +84,13 @@ def projection_matrix(znear: float, zfar: float, fov_x: float, fov_y: float,
     return P
 
 
+@jax.tree_util.register_pytree_node_class
 class Camera(NamedTuple):
     """A single pinhole camera as a JAX pytree.
 
     Array fields are jnp arrays so a Camera can cross a jit boundary;
-    ``width``/``height`` stay python ints (static shapes for XLA).
+    ``width``/``height`` are *static* aux data (shapes for XLA), so two
+    cameras of the same resolution share one compilation.
     """
     w2c: jnp.ndarray          # (4,4) world→camera
     full_proj: jnp.ndarray    # (4,4) proj @ w2c : world→clip
@@ -96,6 +99,15 @@ class Camera(NamedTuple):
     tan_fovy: jnp.ndarray     # scalar
     width: int
     height: int
+
+    def tree_flatten(self):
+        children = (self.w2c, self.full_proj, self.cam_center,
+                    self.tan_fovx, self.tan_fovy)
+        return children, (self.width, self.height)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children, width=aux[0], height=aux[1])
 
     @property
     def focal_x(self) -> jnp.ndarray:

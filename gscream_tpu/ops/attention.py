@@ -27,6 +27,7 @@ import jax.numpy as jnp
 import numpy as np
 
 
+@jax.tree_util.register_pytree_node_class
 class BidirAttnParams(NamedTuple):
     to_qk: jnp.ndarray        # (dim, inner)
     ctx_to_qk: jnp.ndarray    # (context_dim, inner)
@@ -36,8 +37,15 @@ class BidirAttnParams(NamedTuple):
     to_out_b: jnp.ndarray     # (dim,)
     ctx_out_w: jnp.ndarray    # (inner, context_dim)
     ctx_out_b: jnp.ndarray    # (context_dim,)
-    heads: int
-    dim_head: int
+    heads: int                # static (pytree aux)
+    dim_head: int             # static (pytree aux)
+
+    def tree_flatten(self):
+        return tuple(self[:8]), (self.heads, self.dim_head)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children, heads=aux[0], dim_head=aux[1])
 
 
 def init_bidirectional_attn(key, dim=32, heads=8, dim_head=64,

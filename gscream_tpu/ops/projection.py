@@ -179,7 +179,8 @@ def preprocess(means3d: jnp.ndarray, scales: jnp.ndarray, rots: jnp.ndarray,
                width: int, height: int, tan_fovx, tan_fovy,
                scale_modifier: float = 1.0,
                cov3d_precomp: jnp.ndarray | None = None,
-               tile_w: int = 16, tile_h: int = 16) -> Splats:
+               tile_w: int = 16, tile_h: int = 16,
+               active_mask: jnp.ndarray | None = None) -> Splats:
     """Full preprocess: N world gaussians → screen splats with cull mask.
 
     Differentiable in (means3d, scales, rots).  radius==0 marks gaussians
@@ -229,6 +230,10 @@ def preprocess(means3d: jnp.ndarray, scales: jnp.ndarray, rots: jnp.ndarray,
     area = ((rect_max[:, 0] - rect_min[:, 0])
             * (rect_max[:, 1] - rect_min[:, 1]))
     visible = in_front & det_valid & (area > 0)
+    if active_mask is not None:
+        # caller-side cull (e.g. neural opacity <= 0 — such gaussians are
+        # never rasterized, so don't emit instances for them)
+        visible = visible & active_mask
     radius = jnp.where(visible, radius_i, 0)
     zero2 = jnp.zeros_like(rect_min)
     rect_min = jnp.where(visible[:, None], rect_min, zero2)

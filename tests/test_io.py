@@ -1,0 +1,46 @@
+"""PLY + checkpoint roundtrip tests."""
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from gscream_tpu.data.ply import read_ply, read_ply_xyz, write_ply
+from gscream_tpu.model.io import load_anchors_ply, save_anchors_ply
+from gscream_tpu.model.scaffold import ScaffoldConfig, init_scaffold
+
+CFG = ScaffoldConfig(feat_dim=8, n_offsets=3, voxel_size=0.05, capacity=1024)
+
+
+def test_ply_roundtrip(tmp_path, rng):
+    cols = {"x": rng.normal(size=50).astype(np.float32),
+            "y": rng.normal(size=50).astype(np.float32),
+            "z": rng.normal(size=50).astype(np.float32),
+            "val_0": rng.normal(size=50).astype(np.float32)}
+    p = str(tmp_path / "test.ply")
+    write_ply(p, cols)
+    back = read_ply(p)
+    for k in cols:
+        np.testing.assert_allclose(back[k], cols[k], rtol=1e-6)
+    xyz = read_ply_xyz(p)
+    assert xyz.shape == (50, 3)
+
+
+def test_anchor_ply_roundtrip(tmp_path, rng):
+    pts = rng.uniform(-1, 1, (200, 3)).astype(np.float32)
+    st = init_scaffold(jax.random.PRNGKey(0), pts, CFG)
+    # randomize params so the roundtrip is meaningful
+    key = jax.random.PRNGKey(1)
+    ks = jax.random.split(key, 3)
+    st = st._replace(params=st.params._replace(
+        feat=jax.random.normal(ks[0], st.params.feat.shape),
+        offset=jax.random.normal(ks[1], st.params.offset.shape),
+    ))
+    p = str(tmp_path / "anchors.ply")
+    save_anchors_ply(p, st, CFG)
+    params, alive = load_anchors_ply(p, CFG)
+    n = int(jnp.sum(st.alive))
+    assert int(jnp.sum(alive)) == n
+    for a, b in zip(jax.tree.leaves(st.params), jax.tree.leaves(params)):
+        np.testing.assert_allclose(np.asarray(a)[:n], np.asarray(b)[:n],
+                                   rtol=1e-6)
