@@ -59,10 +59,17 @@ def bin_instances(splats: Splats, capacity: int, width: int, height: int,
     offsets = jnp.cumsum(area) - area            # exclusive prefix sum
     total = offsets[-1] + area[-1]
 
+    # slot → source gaussian: scatter each emitting gaussian's id at its
+    # first slot, then a running max fills the gaps (replaces a per-slot
+    # binary search — one scatter + one cummax instead of ~21 gather
+    # rounds over the full capacity)
     slot = jnp.arange(capacity, dtype=jnp.int32)
-    # source gaussian of each slot: rightmost g with offsets[g] <= slot
-    g = jnp.searchsorted(offsets, slot, side='right').astype(jnp.int32) - 1
-    g = jnp.clip(g, 0, area.shape[0] - 1)
+    gid = jnp.arange(area.shape[0], dtype=jnp.int32)
+    first_slot = jnp.where(area > 0, offsets, capacity)  # drop empty rects
+    marks = jnp.zeros((capacity,), jnp.int32).at[first_slot].max(
+        gid, mode='drop')
+    g = jax.lax.cummax(marks)
+
     local = slot - offsets[g]
     rw = jnp.maximum(rect_w[g], 1)
     tile_x = splats.rect_min[g, 0] + local % rw
@@ -71,14 +78,16 @@ def bin_instances(splats: Splats, capacity: int, width: int, height: int,
 
     valid = slot < jnp.minimum(total, capacity)
     tile = jnp.where(valid, tile, n_tiles).astype(jnp.int32)
-    depth_key = jnp.where(valid, splats.depth[g], jnp.inf)
+    # depth as a sortable int key: positive-float bits order like floats
+    depth_bits = jnp.where(
+        valid,
+        jax.lax.bitcast_convert_type(splats.depth[g], jnp.int32),
+        jnp.int32(2 ** 30))
 
-    # stable (tile, depth) order via two stable passes
-    order1 = jnp.argsort(depth_key, stable=True)
-    tile1 = tile[order1]
-    order2 = jnp.argsort(tile1, stable=True)
-    sorted_tile = tile1[order2]
-    sorted_gauss = g[order1][order2]
+    # one lexicographic sort on (tile, depth) carrying the gaussian id —
+    # the reference's single 64-bit radix sort (rasterizer_impl.cu:306-314)
+    sorted_tile, _, sorted_gauss = jax.lax.sort(
+        (tile, depth_bits, g), num_keys=2, is_stable=True)
 
     tids = jnp.arange(n_tiles, dtype=jnp.int32)
     tile_start = jnp.searchsorted(sorted_tile, tids, side='left').astype(jnp.int32)

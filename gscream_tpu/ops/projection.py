@@ -126,31 +126,30 @@ def ewa_cov2d(means3d: jnp.ndarray, p_view: jnp.ndarray, cov3d: jnp.ndarray,
     tx, ty, tz = p_view[:, 0], p_view[:, 1], p_view[:, 2]
     limx = 1.3 * tan_fovx
     limy = 1.3 * tan_fovy
-    txtz = tx / tz
-    tytz = ty / tz
-    tx = jnp.clip(txtz, -limx, limx) * tz
-    ty = jnp.clip(tytz, -limy, limy) * tz
+    tx = jnp.clip(tx / tz, -limx, limx) * tz
+    ty = jnp.clip(ty / tz, -limy, limy) * tz
 
-    inv_z = 1.0 / tz
-    inv_z2 = inv_z * inv_z
-    # J rows (math convention): d(focal·x/z)/d(x,y,z), d(focal·y/z)/d(x,y,z)
-    J = jnp.zeros((means3d.shape[0], 2, 3), dtype=means3d.dtype)
-    J = J.at[:, 0, 0].set(focal_x * inv_z)
-    J = J.at[:, 0, 2].set(-(focal_x * tx) * inv_z2)
-    J = J.at[:, 1, 1].set(focal_y * inv_z)
-    J = J.at[:, 1, 2].set(-(focal_y * ty) * inv_z2)
-
-    W = w2c[:3, :3]                                        # (3,3)
+    # M = W Σ Wᵀ (world covariance rotated into the view frame)
+    W = w2c[:3, :3]
     Vrk = jnp.stack([
         jnp.stack([cov3d[:, 0], cov3d[:, 1], cov3d[:, 2]], -1),
         jnp.stack([cov3d[:, 1], cov3d[:, 3], cov3d[:, 4]], -1),
         jnp.stack([cov3d[:, 2], cov3d[:, 4], cov3d[:, 5]], -1),
     ], axis=-2)                                            # (N,3,3)
-    JW = jnp.einsum('nij,jk->nik', J, W)                   # (N,2,3)
-    cov = jnp.einsum('nij,njk,nlk->nil', JW, Vrk, JW)      # (N,2,2)
-    a = cov[:, 0, 0] + COV2D_DILATION
-    b = cov[:, 0, 1]
-    c = cov[:, 1, 1] + COV2D_DILATION
+    M = jnp.einsum('ij,njk,lk->nil', W, Vrk, W)            # (N,3,3)
+
+    # cov2d = J M Jᵀ with J = [[u,0,s],[0,v,t]] expanded directly
+    # (u = fx/z, s = -fx·tx/z², v = fy/z, t = -fy·ty/z²)
+    inv_z = 1.0 / tz
+    u = focal_x * inv_z
+    v = focal_y * inv_z
+    s = -(focal_x * tx) * inv_z * inv_z
+    t = -(focal_y * ty) * inv_z * inv_z
+    m00, m01, m02 = M[:, 0, 0], M[:, 0, 1], M[:, 0, 2]
+    m11, m12, m22 = M[:, 1, 1], M[:, 1, 2], M[:, 2, 2]
+    a = u * u * m00 + 2.0 * u * s * m02 + s * s * m22 + COV2D_DILATION
+    b = u * v * m01 + u * t * m02 + v * s * m12 + s * t * m22
+    c = v * v * m11 + 2.0 * v * t * m12 + t * t * m22 + COV2D_DILATION
     return jnp.stack([a, b, c], axis=-1)
 
 

@@ -56,6 +56,7 @@ TILE_W = 32           # pixels per tile, x — tile pixel count must be 1024
 TILE_H = 32           # pixels per tile, y   (= one (8,128) f32 vreg block)
 PIX = TILE_W * TILE_H
 CHUNK = 256           # instances processed per inner step
+INST_W = 128          # floats per instance row (lane-aligned; 11 used)
 LANES = 128
 SUBLANES = PIX // LANES
 
@@ -82,29 +83,26 @@ def pack_instance_data(splats_mean2d, conic, opacity, colors, depth, unc,
                        binning: Binning, grid_x: int):
     """Gather per-gaussian attributes into sorted instance order.
 
-    Layout (capacity, 16) float32 — one contiguous 64-byte row per instance
-    for clean DMA:  [mx_local, my_local, ca, cb, cc, op, r, g, b, depth,
-    unc, 0...].  mx/my are *tile-local*: the tile origin is subtracted here
-    so the kernel's quadratic basis stays in small coordinates.
+    Layout (capacity, 128) float32 — one 512-byte row per instance, first
+    11 lanes used: [mx_local, my_local, ca, cb, cc, op, r, g, b, depth,
+    unc, 0...].  The row width matches the TPU lane tiling (Mosaic requires
+    128-aligned HBM slices for the chunk DMA).  mx/my are *tile-local*: the
+    tile origin is subtracted here so the kernel's quadratic basis stays in
+    small coordinates.
     """
     g = binning.gauss_id
     tile = binning.tile_id
     tx = (tile % grid_x).astype(jnp.float32) * TILE_W
     ty = (tile // grid_x).astype(jnp.float32) * TILE_H
-    cap = g.shape[0]
-    out = jnp.zeros((cap, 16), jnp.float32)
-    out = out.at[:, 0].set(splats_mean2d[g, 0] - tx)
-    out = out.at[:, 1].set(splats_mean2d[g, 1] - ty)
-    out = out.at[:, 2].set(conic[g, 0])
-    out = out.at[:, 3].set(conic[g, 1])
-    out = out.at[:, 4].set(conic[g, 2])
-    out = out.at[:, 5].set(opacity[g])
-    out = out.at[:, 6].set(colors[g, 0])
-    out = out.at[:, 7].set(colors[g, 1])
-    out = out.at[:, 8].set(colors[g, 2])
-    out = out.at[:, 9].set(depth[g])
-    out = out.at[:, 10].set(unc[g])
-    return out
+    cols = jnp.stack([
+        splats_mean2d[g, 0] - tx,
+        splats_mean2d[g, 1] - ty,
+        conic[g, 0], conic[g, 1], conic[g, 2],
+        opacity[g],
+        colors[g, 0], colors[g, 1], colors[g, 2],
+        depth[g], unc[g],
+    ], axis=1)                                     # (cap, 11) fused gather
+    return jnp.pad(cols, ((0, 0), (0, INST_W - cols.shape[1])))
 
 
 def tiles_to_image(tiles: jnp.ndarray, width: int, height: int):
@@ -134,9 +132,9 @@ def image_to_tiles(img: jnp.ndarray, width: int, height: int):
 def _pixel_basis():
     """(8, PIX) constant basis rows [1, x, y, x², xy, y², 0, 0] in
     tile-local pixel coordinates (flat index p → (y,x) = divmod(p, TILE_W))."""
-    flat = jax.lax.broadcasted_iota(jnp.float32, (1, PIX), 1)
-    x = flat % TILE_W
-    y = jnp.floor(flat / TILE_W)
+    flat = jax.lax.broadcasted_iota(jnp.int32, (1, PIX), 1)
+    x = (flat % TILE_W).astype(jnp.float32)
+    y = (flat // TILE_W).astype(jnp.float32)
     one = jnp.ones_like(x)
     zero = jnp.zeros_like(x)
     return jnp.concatenate(
@@ -225,9 +223,7 @@ def _fwd_kernel(tile_start, tile_count, inst_hbm, out_ref, buf, sem,
         p_exc = p_inc / (1.0 - alpha_v)
         applied = valid & (p_inc >= T_STOP)
         w = jnp.where(applied, alpha * p_exc, 0.0)          # (CHUNK,PIX)
-        feats = jnp.concatenate(
-            [buf[:, 6:11], jnp.zeros((CHUNK, 3), jnp.float32)],
-            axis=1)                                          # (CHUNK,8)
+        feats = buf[:, 6:14]     # r,g,b,depth,unc + 3 zero lanes → (CHUNK,8)
         acc = jax.lax.dot_general(
             feats, w, (((0,), (0,)), ((), ())),
             precision=_HIGHEST, preferred_element_type=jnp.float32)  # (8,PIX)
@@ -260,11 +256,11 @@ def _run_forward(inst_data, tile_start, tile_count, n_tiles: int,
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(n_tiles,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec((None, 8, PIX), lambda t, *_: (t, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((CHUNK, 16), jnp.float32),
+            pltpu.VMEM((CHUNK, INST_W), jnp.float32),
             pltpu.SemaphoreType.DMA(()),
             pltpu.VMEM((1, PIX), jnp.float32),
             pltpu.VMEM((1, PIX), jnp.float32),
@@ -371,7 +367,7 @@ def _bwd_kernel(tile_start, tile_count, inst_hbm, pix_ref, grad_hbm,
         gbuf[:, 4:5] = dcc
         gbuf[:, 5:6] = dop
         gbuf[:, 6:11] = dfeat[:, 0:5]
-        gbuf[:, 11:16] = jnp.zeros_like(gbuf[:, 11:16])
+        gbuf[:, 11:INST_W] = jnp.zeros_like(gbuf[:, 11:INST_W])
 
         cpo = pltpu.make_async_copy(
             gbuf, grad_hbm.at[pl.ds(start + k * CHUNK, CHUNK), :], gsem)
@@ -392,14 +388,14 @@ def _run_backward(inst_data, pix_tiles, tile_start, tile_count,
         num_scalar_prefetch=2,
         grid=(n_tiles,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((None, 8, PIX), lambda t, *_: (t, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
-            pltpu.VMEM((CHUNK, 16), jnp.float32),
-            pltpu.VMEM((CHUNK, 16), jnp.float32),
+            pltpu.VMEM((CHUNK, INST_W), jnp.float32),
+            pltpu.VMEM((CHUNK, INST_W), jnp.float32),
             pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA(()),
             pltpu.VMEM((1, PIX), jnp.float32),
@@ -409,7 +405,7 @@ def _run_backward(inst_data, pix_tiles, tile_start, tile_count,
     return pl.pallas_call(
         _bwd_kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((cap, 16), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((cap, INST_W), jnp.float32),
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
     )(tile_start, tile_count, inst_data, pix_tiles)
@@ -437,7 +433,7 @@ def _raster_fwd(mean2d, conic, opacity, colors, depth, unc,
     # one extra zero chunk so the last (partial) chunk's DMA never reads
     # past the end of the buffer
     inst = jnp.concatenate(
-        [inst, jnp.zeros((CHUNK, 16), jnp.float32)], axis=0)
+        [inst, jnp.zeros((CHUNK, INST_W), jnp.float32)], axis=0)
     tiles = _run_forward(inst, binning.tile_start, binning.tile_count,
                          n_tiles, interpret)
     img = tiles_to_image(tiles, width, height)     # (8,H,W)
@@ -481,16 +477,16 @@ def _raster_bwd(width, height, interpret, res, g: TiledOut):
     grads = jnp.where(valid_slot[:, None], grads, 0.0)
 
     gid = binning.gauss_id
-    seg = functools.partial(jax.ops.segment_sum, num_segments=n_gauss,
-                            indices_are_sorted=False)
-    d_mean2d = jnp.stack([seg(grads[:, 0], gid), seg(grads[:, 1], gid)], -1)
-    d_conic = jnp.stack([seg(grads[:, 2], gid), seg(grads[:, 3], gid),
-                         seg(grads[:, 4], gid)], -1)
-    d_op = seg(grads[:, 5], gid)
-    d_col = jnp.stack([seg(grads[:, 6], gid), seg(grads[:, 7], gid),
-                       seg(grads[:, 8], gid)], -1)
-    d_depth = seg(grads[:, 9], gid)
-    d_unc = seg(grads[:, 10], gid)
+    # one fused multi-column segment reduction (single deterministic
+    # scatter-add) instead of 11 independent ones
+    per_gauss = jax.ops.segment_sum(grads[:, :11], gid,
+                                    num_segments=n_gauss)
+    d_mean2d = per_gauss[:, 0:2]
+    d_conic = per_gauss[:, 2:5]
+    d_op = per_gauss[:, 5]
+    d_col = per_gauss[:, 6:9]
+    d_depth = per_gauss[:, 9]
+    d_unc = per_gauss[:, 10]
     # bg cotangent: out_color = C + T·bg  ⇒  d bg = Σ_p T_p · g_color_p
     d_bg = jnp.einsum('hw,chw->c', t_img, g_color)
     # Binning holds integer index arrays — their cotangent is float0 zeros

@@ -1,0 +1,256 @@
+"""Sharded rendering and training over a (data, tiles) mesh.
+
+Design (SURVEY.md §7 step 7, tuned to how a tile rasterizer actually
+shards):
+
+* the image's tile grid is split into contiguous **bands of tile rows**
+  along the ``tiles`` axis; each device runs the Pallas kernels on its
+  band only (the per-tile instance lists are already independent);
+* the rendered partial image is ``psum`` over ``tiles`` (a cheap
+  full-image all-reduce riding ICI) so every device sees the full frame
+  for the SSIM/depth losses;
+* per-gaussian gradients come back through the local backward kernel +
+  local ``segment_sum``; differentiating the ``shard_map`` with replicated
+  parameter inputs inserts the cross-device gradient psum automatically —
+  the collective the reference's single-GPU ``atomicAdd`` never needed;
+* views are sharded along ``data``; losses are ``pmean`` over the axis.
+
+Everything is deterministic: tile→device assignment is static, reductions
+are tree psums, no atomics anywhere.
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import PartitionSpec as P
+from jax import shard_map
+
+from ..cameras import Camera
+from ..config import OptimConfig
+from ..model.scaffold import ScaffoldConfig, ScaffoldState, decode
+from ..ops.binning import bin_instances
+from ..ops.projection import preprocess
+from ..ops import rasterize_tiled as rt
+from ..ops.rasterize_tiled import CHUNK, INST_W, PIX, TILE_H, TILE_W, TiledOut
+from .mesh import DATA_AXIS, TILE_AXIS
+
+
+def _band_geometry(width: int, height: int, n_bands: int):
+    gx = -(-width // TILE_W)
+    gy = -(-height // TILE_H)
+    gy_pad = -(-gy // n_bands) * n_bands
+    rows_per_band = gy_pad // n_bands
+    return gx, gy, gy_pad, rows_per_band
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11))
+def rasterize_band(mean2d, conic, opacity, colors, depth, unc,
+                   binning, bg, width: int, height: int, n_bands: int,
+                   interpret: bool):
+    """Rasterize only this device's band of tile rows (inside shard_map).
+
+    Returns the *full-size* image tensor with non-local tiles zeroed —
+    callers psum over the tiles axis to complete the frame.  The band
+    index comes from ``jax.lax.axis_index(TILE_AXIS)``.
+    """
+    out, _ = _band_fwd(mean2d, conic, opacity, colors, depth, unc,
+                       binning, bg, width, height, n_bands, interpret)
+    return out
+
+
+def _band_slices(binning, gx, rows_per_band, band):
+    start_tile = band * rows_per_band * gx
+    n_local = rows_per_band * gx
+    ts = jax.lax.dynamic_slice(binning.tile_start, (start_tile,), (n_local,))
+    tc = jax.lax.dynamic_slice(binning.tile_count, (start_tile,), (n_local,))
+    return ts, tc, n_local
+
+
+def _band_fwd(mean2d, conic, opacity, colors, depth, unc, binning, bg,
+              width, height, n_bands, interpret):
+    gx, gy, gy_pad, rows_per_band = _band_geometry(width, height, n_bands)
+    band = jax.lax.axis_index(TILE_AXIS)
+    inst = rt.pack_instance_data(mean2d, conic, opacity, colors, depth,
+                                 unc, binning, gx)
+    inst = jnp.concatenate([inst, jnp.zeros((CHUNK, INST_W), jnp.float32)], 0)
+    ts, tc, n_local = _band_slices(binning, gx, rows_per_band, band)
+    tiles = rt._run_forward(inst, ts, tc, n_local, interpret)  # (L,8,PIX)
+
+    # local band → full padded canvas at the band's row offset
+    band_img = tiles.reshape(rows_per_band, gx, 8, TILE_H, TILE_W)
+    band_img = band_img.transpose(2, 0, 3, 1, 4).reshape(
+        8, rows_per_band * TILE_H, gx * TILE_W)
+    canvas = jnp.zeros((8, gy_pad * TILE_H, gx * TILE_W), jnp.float32)
+    canvas = jax.lax.dynamic_update_slice(
+        canvas, band_img, (0, band * rows_per_band * TILE_H, 0))
+    # T channel must read 1 (not 0) outside this band so the psum'd frame
+    # composes correctly: psum(T_partial) - (n_bands-1) restores T
+    full = jax.lax.psum(canvas, TILE_AXIS)
+    img = full[:, :height, :width]
+    raw_c = img[0:3]
+    # off-band devices contribute zeros to every channel, so the psum
+    # reconstructs each tile's values exactly (T included)
+    t_img = img[5]
+    color = raw_c + t_img[None] * bg[:, None, None]
+    out = TiledOut(color=color.transpose(1, 2, 0), depth=img[3],
+                   uncertainty=img[4], final_t=t_img)
+    res = (inst, binning, bg, raw_c, img[3], img[4], t_img,
+           mean2d.shape[0])
+    return out, res
+
+
+def _band_bwd(width, height, n_bands, interpret, res, g: TiledOut):
+    inst, binning, bg, raw_c, d_img, u_img, t_img, n_gauss = res
+    gx, gy, gy_pad, rows_per_band = _band_geometry(width, height, n_bands)
+    band = jax.lax.axis_index(TILE_AXIS)
+
+    # transpose of the forward's psum over TILE_AXIS: the incoming
+    # cotangent of the (replicated) output must itself be psum'd — without
+    # this, the hand-written vjp silently under-counts by the axis size
+    g = jax.tree.map(lambda x: jax.lax.psum(x, TILE_AXIS), g)
+    g_color = g.color.transpose(2, 0, 1)
+    gtt_img = (jnp.einsum('c,chw->hw', bg, g_color) + g.final_t) * t_img
+    total_img = (jnp.einsum('chw,chw->hw', raw_c, g_color)
+                 + d_img * g.depth + u_img * g.uncertainty)
+    pix = jnp.stack([g_color[0], g_color[1], g_color[2], g.depth,
+                     g.uncertainty, total_img, gtt_img,
+                     jnp.zeros_like(d_img)], axis=0)
+    # pad to the tile canvas and slice this band's rows
+    canvas = jnp.zeros((8, gy_pad * TILE_H, gx * TILE_W), pix.dtype)
+    canvas = canvas.at[:, :height, :width].set(pix)
+    band_pix = jax.lax.dynamic_slice(
+        canvas, (0, band * rows_per_band * TILE_H, 0),
+        (8, rows_per_band * TILE_H, gx * TILE_W))
+    pix_tiles = band_pix.reshape(8, rows_per_band, TILE_H, gx, TILE_W)
+    pix_tiles = pix_tiles.transpose(1, 3, 0, 2, 4).reshape(
+        rows_per_band * gx, 8, PIX)
+
+    ts, tc, n_local = _band_slices(binning, gx, rows_per_band, band)
+    grads = rt._run_backward(inst, pix_tiles, ts, tc, n_local, interpret)
+    grads = grads[:binning.gauss_id.shape[0]]
+    # only this band's instance slots are written — mask the rest
+    n_tiles_real = gx * gy
+    slot_band = binning.tile_id // (rows_per_band * gx)
+    valid = (binning.tile_id < n_tiles_real) & (slot_band == band)
+    grads = jnp.where(valid[:, None], grads, 0.0)
+
+    gid = binning.gauss_id
+    per_gauss = jax.ops.segment_sum(grads[:, :11], gid,
+                                    num_segments=n_gauss)
+    d_mean2d = per_gauss[:, 0:2]
+    d_conic = per_gauss[:, 2:5]
+    d_op = per_gauss[:, 5]
+    d_col = per_gauss[:, 6:9]
+    d_depth = per_gauss[:, 9]
+    d_unc = per_gauss[:, 10]
+    # cotangents are partial (this band only); the outer shard_map
+    # transpose inserts the psum over TILE_AXIS for replicated inputs.
+    d_bg = jnp.einsum('hw,chw->c', t_img, g_color) / n_bands
+    d_binning = jax.tree.map(
+        lambda x: np.zeros(x.shape, jax.dtypes.float0), binning)
+    return (d_mean2d, d_conic, d_op, d_col, d_depth, d_unc, d_binning, d_bg)
+
+
+rasterize_band.defvjp(_band_fwd, _band_bwd)
+
+
+def render_view_sharded(scaffold: ScaffoldState, camera: Camera, bg,
+                        cfg: ScaffoldConfig, capacity: int, n_bands: int,
+                        interpret: bool):
+    """decode → preprocess → bin → band-rasterize (call inside shard_map)."""
+    dec = decode(scaffold, camera.cam_center, None, cfg)
+    splats = preprocess(
+        dec.xyz, dec.scale, dec.rot, camera.w2c, camera.full_proj,
+        camera.width, camera.height, camera.tan_fovx, camera.tan_fovy,
+        tile_w=TILE_W, tile_h=TILE_H, active_mask=dec.active)
+    gx, gy, gy_pad, _ = _band_geometry(camera.width, camera.height, n_bands)
+    binning = bin_instances(splats, capacity, camera.width, camera.height,
+                            TILE_W, TILE_H)
+    # pad the tile-range arrays to the banded grid
+    pad_tiles = gy_pad * gx - gy * gx
+    if pad_tiles:
+        binning = binning._replace(
+            tile_start=jnp.concatenate(
+                [binning.tile_start,
+                 jnp.zeros((pad_tiles,), jnp.int32)]),
+            tile_count=jnp.concatenate(
+                [binning.tile_count,
+                 jnp.zeros((pad_tiles,), jnp.int32)]))
+    out = rasterize_band(splats.mean2d, splats.conic, dec.opacity,
+                         dec.color, splats.depth, dec.uncertainty,
+                         binning, bg, camera.width, camera.height,
+                         n_bands, interpret)
+    return out, dec, binning
+
+
+def make_sharded_loss(mesh, cfg: ScaffoldConfig, opt: OptimConfig,
+                      capacity: int, width: int, height: int,
+                      interpret: bool, is_ref_weighting: bool = False):
+    """Build loss(params_tree, view_batch) sharded over (data, tiles).
+
+    view_batch is a pytree of arrays with leading dim = mesh data size:
+    (w2c, full_proj, cam_center, tan_fovx, tan_fovy, image, mask, depth).
+    Differentiating the returned function yields correctly psum'd grads.
+    """
+    n_bands = mesh.shape[TILE_AXIS]
+
+    def local_fn(params, mlps, alive, xyz_max, w2c, fproj, center, tfx,
+                 tfy, image, mask, mono):
+        cam = Camera(w2c=w2c[0], full_proj=fproj[0], cam_center=center[0],
+                     tan_fovx=tfx[0], tan_fovy=tfy[0],
+                     width=width, height=height)
+        scaffold = ScaffoldState(params=params, mlps=mlps, alive=alive,
+                                 xyz_max=xyz_max)
+        bg = jnp.zeros(3, jnp.float32)
+        out, dec, binning = render_view_sharded(
+            scaffold, cam, bg, cfg, capacity, n_bands, interpret)
+        from ..train.step import loss_terms
+        loss, l1 = loss_terms(out, image[0], mask[0], mono[0],
+                              jnp.zeros((height, width)), opt,
+                              is_ref=is_ref_weighting)
+        # pmean over tiles makes the redundant per-band loss computation a
+        # true average, so the psum-transpose of the image all-reduce does
+        # not double-count gradients; pmean over data averages views.
+        loss = jax.lax.pmean(loss, (DATA_AXIS, TILE_AXIS))
+        return loss
+
+    in_specs = (P(), P(), P(), P(),
+                P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS),
+                P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS))
+    sharded = shard_map(local_fn, mesh=mesh, in_specs=in_specs,
+                        out_specs=P(), check_vma=False)
+
+    def loss_fn(params, mlps, alive, xyz_max, batch):
+        return sharded(params, mlps, alive, xyz_max, *batch)
+
+    return loss_fn
+
+
+def make_sharded_train_step(mesh, cfg: ScaffoldConfig, opt: OptimConfig,
+                            capacity: int, width: int, height: int,
+                            interpret: bool):
+    """Full SPMD training step: sharded loss grad + replicated Adam."""
+    loss_fn = make_sharded_loss(mesh, cfg, opt, capacity, width, height,
+                                interpret)
+    from ..train.state import apply_adam, broadcast_group, lr_tree
+
+    @jax.jit
+    def step(ts, batch):
+        sc = ts.scaffold
+        (loss), grads = jax.value_and_grad(loss_fn, argnums=(0, 1))(
+            sc.params, sc.mlps, sc.alive, sc.xyz_max, batch)
+        step1 = ts.step + 1
+        anchor_lrs, mlp_lrs = lr_tree(step1, opt, 1.0)
+        lr_full = (broadcast_group(anchor_lrs, sc.params),
+                   broadcast_group(mlp_lrs, sc.mlps))
+        (new_p, new_mlps), new_m, new_v = apply_adam(
+            (sc.params, sc.mlps), grads, ts.m, ts.v, lr_full, step1)
+        return ts._replace(
+            scaffold=sc._replace(params=new_p, mlps=new_mlps),
+            m=new_m, v=new_v, step=step1), loss
+
+    return step

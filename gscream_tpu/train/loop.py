@@ -1,0 +1,231 @@
+"""Training orchestration: the host-side loop around the jitted step.
+
+Functional port of the reference ``training()`` driver (train.py:333-620):
+random camera order (reshuffled each epoch), reference-view substitution of
+the inpainted image + depth, phase switch to cross-attention at
+``start_crossattn_from``, densification every ``update_interval`` between
+``update_from`` and ``update_until``, periodic eval/save, logging.
+
+Host-side randomness (camera order, patch boxes) uses numpy seeded like the
+reference (``safe_state`` seed 0); device-side randomness lives in the
+train state's PRNG key.
+"""
+from __future__ import annotations
+
+import json
+import logging
+import os
+import time
+from dataclasses import dataclass, field
+from typing import Callable, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import RunConfig
+from ..model.densify import adjust_anchors
+from ..model.scaffold import ScaffoldConfig, init_scaffold, n_alive
+from .state import TrainState, init_train_state
+from .step import train_step
+
+
+def get_logger(out_dir: str) -> logging.Logger:
+    """Reference get_logger (train.py:994-1010): file + console."""
+    logger = logging.getLogger("gscream_tpu")
+    logger.setLevel(logging.INFO)
+    logger.handlers.clear()
+    os.makedirs(out_dir, exist_ok=True)
+    fh = logging.FileHandler(os.path.join(out_dir, "outputs.log"))
+    fh.setLevel(logging.INFO)
+    ch = logging.StreamHandler()
+    ch.setLevel(logging.INFO)
+    fmt = logging.Formatter("%(asctime)s %(levelname)s %(message)s")
+    fh.setFormatter(fmt)
+    ch.setFormatter(fmt)
+    logger.addHandler(fh)
+    logger.addHandler(ch)
+    return logger
+
+
+def mask_bbox(mask: np.ndarray):
+    """Bounding box of a binary mask (train.py:56-64 cal_box)."""
+    ys, xs = np.nonzero(mask)
+    if len(ys) == 0:
+        return 0, 0, mask.shape[0], mask.shape[1]
+    return ys.min(), xs.min(), ys.max() + 1, xs.max() + 1
+
+
+def sample_patch_in_mask_region(rng, mask: np.ndarray, patch_size: int,
+                                small_ratio: float, max_h: int, max_w: int):
+    """train.py:173-190: random patch_size box overlapping the mask bbox."""
+    y0, x0, y1, x1 = mask_bbox(mask)
+    cy, cx = (y0 + y1) / 2, (x0 + x1) / 2
+    ny0 = max(0, cy - patch_size / 2)
+    nx0 = max(0, cx - patch_size / 2)
+    ny1 = min(cy + patch_size / 2, max_h - 1)
+    nx1 = min(cx + patch_size / 2, max_w - 1)
+    sw = small_ratio * (x1 - x0)
+    sh = small_ratio * (y1 - y0)
+    off_y = rng.uniform(0, max(patch_size - sh, 0))
+    off_x = rng.uniform(0, max(patch_size - sw, 0))
+    min_y = max(0, int(ny0 + off_y))
+    min_x = max(0, int(nx0 + off_x))
+    max_y = min(int(min_y + patch_size), max_h - 1)
+    max_x = min(int(min_x + patch_size), max_w - 1)
+    return min_y, max_y, min_x, max_x
+
+
+def random_box_mask(rng, mask: np.ndarray, enlarge_ratio: float,
+                    small_ratio: float, h: int, w: int) -> np.ndarray:
+    """train.py:103-126 get_random_mask: random sub-box of the enlarged
+    mask bbox, as a dense (H,W) {0,1} map (ref-view fg depth term)."""
+    y0, x0, y1, x1 = mask_bbox(mask)
+    bh, bw = y1 - y0, x1 - x0
+    cy, cx = (y0 + y1) / 2, (x0 + x1) / 2
+    nh, nw = enlarge_ratio * bh, enlarge_ratio * bw
+    ny0 = max(0, cy - nh / 2)
+    nx0 = max(0, cx - nw / 2)
+    sh, sw = small_ratio * bh, small_ratio * bw
+    off_y = rng.uniform(0, max(nh - sh, 0))
+    off_x = rng.uniform(0, max(nw - sw, 0))
+    min_y = max(0, int(ny0 + off_y))
+    min_x = max(0, int(nx0 + off_x))
+    max_y = min(int(min_y + sh), h - 1)
+    max_x = min(int(min_x + sw), w - 1)
+    out = np.zeros((h, w), np.float32)
+    out[min_y:max_y, min_x:max_x] = 1.0
+    return out
+
+
+@dataclass
+class TrainLog:
+    losses: List[float] = field(default_factory=list)
+    iter_times: List[float] = field(default_factory=list)
+    events: List[Dict] = field(default_factory=list)
+
+
+def train_scene(views, ref_index: int, points: np.ndarray, run: RunConfig,
+                out_dir: str = "",
+                ref_image: Optional[np.ndarray] = None,
+                ref_depth: Optional[np.ndarray] = None,
+                spatial_lr_scale: float = 1.0,
+                capacity: int = 1 << 20,
+                interpret: Optional[bool] = None,
+                iterations: Optional[int] = None,
+                callback: Optional[Callable] = None,
+                logger: Optional[logging.Logger] = None):
+    """Train one scene.  ``views`` is a list of objects with
+    ``.camera/.image/.mask/.depth/.name``; the reference view's image/depth
+    are substituted by the provided inpainted artifacts (train.py:354-365,
+    425-430).  Returns (TrainState, TrainLog)."""
+    m, opt = run.model, run.optim
+    cfg = ScaffoldConfig(
+        feat_dim=m.feat_dim, n_offsets=m.n_offsets,
+        voxel_size=m.voxel_size, update_depth=m.update_depth,
+        update_init_factor=m.update_init_factor,
+        update_hierachy_factor=m.update_hierachy_factor,
+        capacity=m.anchor_capacity,
+        attn_heads=opt.attn_head_num, attn_head_dim=opt.attn_head_dim)
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    iters = iterations if iterations is not None else opt.iterations
+    rng = np.random.default_rng(run.seed)
+
+    scaffold = init_scaffold(jax.random.PRNGKey(run.seed), points, cfg)
+    ts = init_train_state(scaffold, cfg, jax.random.PRNGKey(run.seed + 1))
+    log = TrainLog()
+    if logger is None:
+        logger = get_logger(out_dir or ".")
+
+    ref_view = views[ref_index]
+    h, w = ref_view.camera.height, ref_view.camera.width
+
+    # device-resident per-view tensors
+    dev_views = []
+    for i, v in enumerate(views):
+        img = v.image
+        dep = v.depth
+        if i == ref_index:
+            if ref_image is not None:
+                img = ref_image
+            if ref_depth is not None:
+                dep = ref_depth
+        dev_views.append(dict(
+            camera=v.camera,
+            image=jnp.asarray(img),
+            mask=jnp.asarray(v.mask if v.mask is not None
+                             else np.zeros((1, h, w), np.float32)),
+            depth=jnp.asarray(dep if dep is not None
+                              else np.zeros((1, h, w), np.float32)),
+            mask_np=(v.mask[0] if v.mask is not None
+                     else np.zeros((h, w), np.float32)),
+            is_ref=(i == ref_index),
+        ))
+
+    order: List[int] = []
+    zero_box = jnp.zeros(4, jnp.int32)
+    t_start = time.time()
+    for it in range(1, iters + 1):
+        if not order:
+            order = list(rng.permutation(len(dev_views)))
+        vi = order.pop()
+        v = dev_views[vi]
+        use_cross = (it > opt.start_crossattn_from
+                     and (opt.enable_crossattn_refview > 0
+                          or opt.enable_crossattn_otherview > 0))
+        accumulate = opt.start_stat < it < opt.update_until
+
+        if v["is_ref"]:
+            fg_box = jnp.asarray(random_box_mask(
+                rng, v["mask_np"], 1.5, 0.8, h, w))
+        else:
+            fg_box = jnp.zeros((h, w))
+        if use_cross and opt.enable_edge_samping > 0:
+            box = sample_patch_in_mask_region(
+                rng, v["mask_np"], 256, opt.sampling_2D_small_ratio, h, w)
+            cross_box = jnp.asarray(np.array(box, np.int32))
+        else:
+            cross_box = zero_box
+
+        t0 = time.time()
+        ts, aux = train_step(
+            ts, v["camera"], v["image"], v["mask"], v["depth"], fg_box,
+            cross_box, cfg=cfg, opt=opt, is_ref=v["is_ref"],
+            use_crossattn=use_cross, capacity=capacity,
+            interpret=interpret, width=w, height=h,
+            accumulate=accumulate,
+            white_bg=m.white_background,
+            spatial_lr_scale=spatial_lr_scale)
+        loss = float(aux.loss)
+        log.losses.append(loss)
+        log.iter_times.append(time.time() - t0)
+
+        n_inst = int(aux.num_instances)
+        if n_inst > capacity:
+            logger.warning("iter %d: instance overflow %d > %d "
+                           "(rendering truncated)", it, n_inst, capacity)
+
+        # densification (train.py:599-606)
+        if opt.update_from < it <= opt.update_until \
+                and it % opt.update_interval == 0:
+            key = jax.random.fold_in(jax.random.PRNGKey(run.seed + 2), it)
+            moments = (ts.m[0], ts.v[0])
+            sc, stats, (m0, v0) = adjust_anchors(
+                ts.scaffold, ts.stats, moments, key, cfg,
+                check_interval=opt.update_interval,
+                success_threshold=opt.success_threshold,
+                grad_threshold=opt.densify_grad_threshold,
+                min_opacity=opt.min_opacity)
+            ts = ts._replace(scaffold=sc, stats=stats,
+                             m=(m0, ts.m[1]), v=(v0, ts.v[1]))
+
+        if it % 100 == 0 or it == iters:
+            logger.info(
+                "iter %d/%d loss %.5f anchors %d instances %d "
+                "(%.1f it/s)", it, iters, loss,
+                int(n_alive(ts.scaffold)), n_inst,
+                it / max(time.time() - t_start, 1e-9))
+        if callback is not None:
+            callback(it, ts, aux)
+    return ts, log

@@ -1,0 +1,96 @@
+"""Component-level timing of the render pipeline on the current backend."""
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gscream_tpu.cameras import make_camera
+from gscream_tpu.model.scaffold import ScaffoldConfig, decode, init_scaffold
+from gscream_tpu.ops.binning import bin_instances
+from gscream_tpu.ops.projection import preprocess
+from gscream_tpu.ops.rasterize_tiled import (
+    TILE_H, TILE_W, pack_instance_data, rasterize_tiled, _run_forward,
+    CHUNK, INST_W)
+
+
+def timeit(f, *args, iters=5, label=""):
+    out = f(*args)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = f(*args)
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / iters
+    print(f"{label:32s} {dt*1e3:9.2f} ms")
+    return out
+
+
+def main():
+    width, height = 1297, 840
+    rng = np.random.default_rng(0)
+    cfg = ScaffoldConfig(feat_dim=32, n_offsets=10, voxel_size=0.01,
+                         capacity=1 << 15)
+    pts = rng.normal(0, 0.6, (30000, 3)).astype(np.float32)
+    scaffold = init_scaffold(jax.random.PRNGKey(0), pts, cfg)
+    ks = jax.random.split(jax.random.PRNGKey(1), 3)
+    scaffold = scaffold._replace(params=scaffold.params._replace(
+        feat=0.3 * jax.random.normal(ks[0], scaffold.params.feat.shape),
+        offset=0.5 * jax.random.normal(ks[1], scaffold.params.offset.shape)))
+    cam = make_camera(np.eye(3), np.array([0.0, 0.0, 3.0]), 1.0,
+                      1.0 * height / width, width, height)
+    capacity = 1 << 21
+    interpret = jax.default_backend() != "tpu"
+
+    dec_fn = jax.jit(lambda p, m: decode(
+        scaffold._replace(params=p, mlps=m), cam.cam_center, None, cfg))
+    dec = timeit(dec_fn, scaffold.params, scaffold.mlps, label="decode")
+
+    pre_fn = jax.jit(lambda d: preprocess(
+        d.xyz, d.scale, d.rot, cam.w2c, cam.full_proj, width, height,
+        cam.tan_fovx, cam.tan_fovy, tile_w=TILE_W, tile_h=TILE_H,
+        active_mask=d.active))
+    splats = timeit(pre_fn, dec, label="preprocess")
+
+    bin_fn = jax.jit(lambda s: bin_instances(s, capacity, width, height,
+                                             TILE_W, TILE_H))
+    binning = timeit(bin_fn, splats, label="binning (sort)")
+    print("instances:", int(binning.num_instances))
+
+    gx = -(-width // TILE_W)
+    pack_fn = jax.jit(lambda s, d, b: pack_instance_data(
+        s.mean2d, s.conic, d.opacity, d.color, s.depth, d.uncertainty,
+        b, gx))
+    inst = timeit(pack_fn, splats, dec, binning, label="pack_instance_data")
+
+    inst_p = jnp.concatenate([inst, jnp.zeros((CHUNK, INST_W))], 0)
+    n_tiles = gx * (-(-height // TILE_H))
+    fwd_fn = jax.jit(lambda i, ts, tc: _run_forward(i, ts, tc, n_tiles,
+                                                    interpret))
+    timeit(fwd_fn, inst_p, binning.tile_start, binning.tile_count,
+           label="pallas forward kernel")
+
+    full_fn = jax.jit(lambda s, d, b: rasterize_tiled(
+        s.mean2d, s.conic, d.opacity, d.color, s.depth, d.uncertainty,
+        b, jnp.zeros(3), width, height, interpret))
+    timeit(full_fn, splats, dec, binning, label="rasterize fwd (full)")
+
+    def loss(s, d, b):
+        out = rasterize_tiled(s.mean2d, s.conic, d.opacity, d.color,
+                              s.depth, d.uncertainty, b, jnp.zeros(3),
+                              width, height, interpret)
+        return jnp.mean(out.color) + jnp.mean(out.depth)
+
+    g_fn = jax.jit(jax.grad(
+        lambda m2, con, op, col, dep, unc, b: (
+            lambda o: jnp.mean(o.color) + jnp.mean(o.depth))(
+            rasterize_tiled(m2, con, op, col, dep, unc, b, jnp.zeros(3),
+                            width, height, interpret)),
+        argnums=(0, 1, 2, 3, 4, 5)))
+    timeit(g_fn, splats.mean2d, splats.conic, dec.opacity, dec.color,
+           splats.depth, dec.uncertainty, binning,
+           label="rasterize fwd+bwd")
+
+
+if __name__ == "__main__":
+    main()

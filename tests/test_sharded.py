@@ -1,0 +1,107 @@
+"""SPMD sharding tests on the virtual 8-device CPU mesh."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from gscream_tpu.config import OptimConfig
+from gscream_tpu.data.synthetic import make_scene
+from gscream_tpu.model.scaffold import ScaffoldConfig, init_scaffold
+from gscream_tpu.parallel.mesh import make_mesh
+from gscream_tpu.parallel.shard import make_sharded_loss, \
+    make_sharded_train_step
+from gscream_tpu.train.state import init_train_state
+
+CFG = ScaffoldConfig(feat_dim=8, n_offsets=2, voxel_size=0.1, capacity=512)
+W = H = 64
+
+
+@pytest.fixture(scope="module")
+def scene():
+    return make_scene(n_views=4, n_gauss=100, width=W, height=H)
+
+
+def _batch(scene, n):
+    views = [scene.views[i % len(scene.views)] for i in range(n)]
+    return (
+        jnp.stack([v.camera.w2c for v in views]),
+        jnp.stack([v.camera.full_proj for v in views]),
+        jnp.stack([v.camera.cam_center for v in views]),
+        jnp.stack([v.camera.tan_fovx for v in views]),
+        jnp.stack([v.camera.tan_fovy for v in views]),
+        jnp.stack([jnp.asarray(v.image) for v in views]),
+        jnp.stack([jnp.asarray(v.mask) for v in views]),
+        jnp.stack([jnp.asarray(v.depth) for v in views]),
+    )
+
+
+def _loss_and_grads(mesh, scene, data):
+    scaffold = init_scaffold(jax.random.PRNGKey(0), scene.points, CFG)
+    loss_fn = make_sharded_loss(mesh, CFG, OptimConfig(), 16384, W, H,
+                                interpret=True)
+    batch = _batch(scene, data)
+    loss, grads = jax.value_and_grad(loss_fn, argnums=(0, 1))(
+        scaffold.params, scaffold.mlps, scaffold.alive, scaffold.xyz_max,
+        batch)
+    return float(loss), grads
+
+
+def test_tile_sharding_matches_single(scene):
+    """2-band tile sharding == 1-band (single device) loss and grads."""
+    if len(jax.devices()) < 2:
+        pytest.skip("needs >=2 devices")
+    l1, g1 = _loss_and_grads(make_mesh(1, 1), scene, 1)
+    l2, g2 = _loss_and_grads(make_mesh(1, 2), scene, 1)
+    assert abs(l1 - l2) < 1e-5
+    for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=1e-5)
+
+
+def test_data_parallel_mean(scene):
+    """DP over 2 views == mean of per-view losses."""
+    if len(jax.devices()) < 2:
+        pytest.skip("needs >=2 devices")
+    scaffold = init_scaffold(jax.random.PRNGKey(0), scene.points, CFG)
+    loss_fn = make_sharded_loss(make_mesh(1, 1), CFG, OptimConfig(), 16384,
+                                W, H, interpret=True)
+    views = scene.views
+
+    def single(view_idx):
+        vs = [views[view_idx]]
+        b = (
+            jnp.stack([v.camera.w2c for v in vs]),
+            jnp.stack([v.camera.full_proj for v in vs]),
+            jnp.stack([v.camera.cam_center for v in vs]),
+            jnp.stack([v.camera.tan_fovx for v in vs]),
+            jnp.stack([v.camera.tan_fovy for v in vs]),
+            jnp.stack([jnp.asarray(v.image) for v in vs]),
+            jnp.stack([jnp.asarray(v.mask) for v in vs]),
+            jnp.stack([jnp.asarray(v.depth) for v in vs]),
+        )
+        return float(loss_fn(scaffold.params, scaffold.mlps, scaffold.alive,
+                             scaffold.xyz_max, b))
+
+    l0, l1v = single(0), single(1)
+    loss_fn2 = make_sharded_loss(make_mesh(2, 1), CFG, OptimConfig(), 16384,
+                                 W, H, interpret=True)
+    ldp = float(loss_fn2(scaffold.params, scaffold.mlps, scaffold.alive,
+                         scaffold.xyz_max, _batch(scene, 2)))
+    assert abs(ldp - 0.5 * (l0 + l1v)) < 1e-5
+
+
+def test_sharded_train_step_runs(scene):
+    if len(jax.devices()) < 4:
+        pytest.skip("needs >=4 devices")
+    mesh = make_mesh(2, 2)
+    scaffold = init_scaffold(jax.random.PRNGKey(0), scene.points, CFG)
+    ts = init_train_state(scaffold, CFG, jax.random.PRNGKey(1))
+    step = make_sharded_train_step(mesh, CFG, OptimConfig(), 16384, W, H,
+                                   interpret=True)
+    batch = _batch(scene, 2)
+    losses = []
+    for _ in range(3):
+        ts, loss = step(ts, batch)
+        losses.append(float(loss))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
