@@ -84,25 +84,19 @@ def pack_instance_data(splats_mean2d, conic, opacity, colors, depth, unc,
     """Gather per-gaussian attributes into sorted instance order.
 
     Layout (capacity, 128) float32 — one 512-byte row per instance, first
-    11 lanes used: [mx_local, my_local, ca, cb, cc, op, r, g, b, depth,
-    unc, 0...].  The row width matches the TPU lane tiling (Mosaic requires
-    128-aligned HBM slices for the chunk DMA).  mx/my are *tile-local*: the
-    tile origin is subtracted here so the kernel's quadratic basis stays in
-    small coordinates.
+    11 lanes used: [mx, my, ca, cb, cc, op, r, g, b, depth, unc, 0...].
+    The row width matches the TPU lane tiling (Mosaic requires 128-aligned
+    HBM slices for the chunk DMA) and makes the per-instance gather a
+    single aligned row copy.  mx/my stay in *global* pixel coordinates —
+    the kernel subtracts its own tile origin (it knows its tile index)
+    so no per-instance fix-up pass is needed here.
     """
-    g = binning.gauss_id
-    tile = binning.tile_id
-    tx = (tile % grid_x).astype(jnp.float32) * TILE_W
-    ty = (tile // grid_x).astype(jnp.float32) * TILE_H
-    cols = jnp.stack([
-        splats_mean2d[g, 0] - tx,
-        splats_mean2d[g, 1] - ty,
-        conic[g, 0], conic[g, 1], conic[g, 2],
-        opacity[g],
-        colors[g, 0], colors[g, 1], colors[g, 2],
-        depth[g], unc[g],
-    ], axis=1)                                     # (cap, 11) fused gather
-    return jnp.pad(cols, ((0, 0), (0, INST_W - cols.shape[1])))
+    attrs = jnp.concatenate([
+        splats_mean2d, conic, opacity[:, None], colors,
+        depth[:, None], unc[:, None],
+    ], axis=1)                                     # (N, 11)
+    attrs = jnp.pad(attrs, ((0, 0), (0, INST_W - attrs.shape[1])))
+    return attrs[binning.gauss_id]                 # one row-gather
 
 
 def tiles_to_image(tiles: jnp.ndarray, width: int, height: int):
@@ -148,16 +142,17 @@ def _lower_tri():
     return (j <= i).astype(jnp.float32)
 
 
-def _chunk_alpha(buf, basis, slot_valid):
+def _chunk_alpha(buf, basis, slot_valid, origin_x, origin_y):
     """Shared forward math for one chunk.
 
-    buf: (CHUNK,16) instance attributes; basis: (8,PIX); slot_valid:
-    (CHUNK,1) bool.  Returns (alpha, valid, logs, a_raw_G) each (CHUNK,PIX)
-    — alpha clamped to 0.99, valid includes the power/255 tests, logs =
-    log1p(-alpha·valid).
+    buf: (CHUNK,INST_W) instance attributes (global-pixel mean2d); basis:
+    (8,PIX); slot_valid: (CHUNK,1) bool; origin_x/y: this tile's pixel
+    origin (scalars).  Returns (alpha, valid, logs, G=exp(power)) each
+    (CHUNK,PIX) — alpha clamped to 0.99, valid includes the power/255
+    tests, logs = log1p(-alpha·valid).
     """
-    mx = buf[:, 0:1]
-    my = buf[:, 1:2]
+    mx = buf[:, 0:1] - origin_x
+    my = buf[:, 1:2] - origin_y
     ca = buf[:, 2:3]
     cb = buf[:, 3:4]
     cc = buf[:, 4:5]
@@ -194,12 +189,15 @@ def _cumsum_chunk(logs, ltri):
 # ---------------------------------------------------------------------------
 # forward kernel
 
-def _fwd_kernel(tile_start, tile_count, inst_hbm, out_ref, buf, sem,
-                carry, tmin):
+def _fwd_kernel(grid_x, tile_start, tile_count, tile_off, inst_hbm,
+                out_ref, buf, sem, carry, tmin):
     t = pl.program_id(0)
     start = tile_start[t]
     count = tile_count[t]
     nchunks = pl.cdiv(count, CHUNK)
+    gt = tile_off[0] + t
+    origin_x = ((gt % grid_x) * TILE_W).astype(jnp.float32)
+    origin_y = ((gt // grid_x) * TILE_H).astype(jnp.float32)
 
     basis = _pixel_basis()
     ltri = _lower_tri()
@@ -216,7 +214,8 @@ def _fwd_kernel(tile_start, tile_count, inst_hbm, out_ref, buf, sem,
         cp.wait()
         sl = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, 1), 0)
         slot_valid = (k * CHUNK + sl) < count
-        alpha, valid, logs, _ = _chunk_alpha(buf[...], basis, slot_valid)
+        alpha, valid, logs, _ = _chunk_alpha(buf[...], basis, slot_valid,
+                                             origin_x, origin_y)
         cum = _cumsum_chunk(logs, ltri) + carry[0:1, :]
         p_inc = jnp.exp(cum)
         alpha_v = jnp.where(valid, alpha, 0.0)
@@ -251,10 +250,12 @@ def _fwd_kernel(tile_start, tile_count, inst_hbm, out_ref, buf, sem,
 
 
 def _run_forward(inst_data, tile_start, tile_count, n_tiles: int,
-                 interpret: bool):
+                 interpret: bool, grid_x: int, tile_offset=None):
     cap = inst_data.shape[0]
+    if tile_offset is None:
+        tile_offset = jnp.zeros((1,), jnp.int32)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(n_tiles,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec((None, 8, PIX), lambda t, *_: (t, 0, 0),
@@ -267,23 +268,26 @@ def _run_forward(inst_data, tile_start, tile_count, n_tiles: int,
         ],
     )
     return pl.pallas_call(
-        _fwd_kernel,
+        functools.partial(_fwd_kernel, grid_x),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_tiles, 8, PIX), jnp.float32),
         interpret=interpret,
-    )(tile_start, tile_count, inst_data)
+    )(tile_start, tile_count, tile_offset, inst_data)
 
 
 # ---------------------------------------------------------------------------
 # backward kernel
 
-def _bwd_kernel(tile_start, tile_count, inst_hbm, pix_ref, grad_hbm,
-                buf, gbuf, sem, gsem, carry, prefr):
+def _bwd_kernel(grid_x, tile_start, tile_count, tile_off, inst_hbm,
+                pix_ref, grad_hbm, buf, gbuf, sem, gsem, carry, prefr):
     """pix_ref rows: [g_r, g_g, g_b, g_depth, g_unc, Total, gTT, 0]."""
     t = pl.program_id(0)
     start = tile_start[t]
     count = tile_count[t]
     nchunks = pl.cdiv(count, CHUNK)
+    gt = tile_off[0] + t
+    origin_x = ((gt % grid_x) * TILE_W).astype(jnp.float32)
+    origin_y = ((gt // grid_x) * TILE_H).astype(jnp.float32)
 
     basis = _pixel_basis()
     ltri = _lower_tri()
@@ -298,7 +302,8 @@ def _bwd_kernel(tile_start, tile_count, inst_hbm, pix_ref, grad_hbm,
         cp.wait()
         sl = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, 1), 0)
         slot_valid = (k * CHUNK + sl) < count
-        alpha, valid, logs, g_exp = _chunk_alpha(buf[...], basis, slot_valid)
+        alpha, valid, logs, g_exp = _chunk_alpha(buf[...], basis, slot_valid,
+                                                 origin_x, origin_y)
         cum = _cumsum_chunk(logs, ltri) + carry[0:1, :]
         p_inc = jnp.exp(cum)
         alpha_v = jnp.where(valid, alpha, 0.0)
@@ -342,8 +347,8 @@ def _bwd_kernel(tile_start, tile_count, inst_hbm, pix_ref, grad_hbm,
         m0, m_x, m_y = mom[:, 0:1], mom[:, 1:2], mom[:, 2:3]
         mxx, mxy, myy = mom[:, 3:4], mom[:, 4:5], mom[:, 5:6]
 
-        mx = buf[:, 0:1]
-        my = buf[:, 1:2]
+        mx = buf[:, 0:1] - origin_x
+        my = buf[:, 1:2] - origin_y
         ca = buf[:, 2:3]
         cb = buf[:, 3:4]
         cc = buf[:, 4:5]
@@ -382,10 +387,13 @@ def _bwd_kernel(tile_start, tile_count, inst_hbm, pix_ref, grad_hbm,
 
 
 def _run_backward(inst_data, pix_tiles, tile_start, tile_count,
-                  n_tiles: int, interpret: bool):
+                  n_tiles: int, interpret: bool, grid_x: int,
+                  tile_offset=None):
     cap = inst_data.shape[0]
+    if tile_offset is None:
+        tile_offset = jnp.zeros((1,), jnp.int32)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(n_tiles,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
@@ -403,12 +411,12 @@ def _run_backward(inst_data, pix_tiles, tile_start, tile_count,
         ],
     )
     return pl.pallas_call(
-        _bwd_kernel,
+        functools.partial(_bwd_kernel, grid_x),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((cap, INST_W), jnp.float32),
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
-    )(tile_start, tile_count, inst_data, pix_tiles)
+    )(tile_start, tile_count, tile_offset, inst_data, pix_tiles)
 
 
 # ---------------------------------------------------------------------------
@@ -435,7 +443,7 @@ def _raster_fwd(mean2d, conic, opacity, colors, depth, unc,
     inst = jnp.concatenate(
         [inst, jnp.zeros((CHUNK, INST_W), jnp.float32)], axis=0)
     tiles = _run_forward(inst, binning.tile_start, binning.tile_count,
-                         n_tiles, interpret)
+                         n_tiles, interpret, gx)
     img = tiles_to_image(tiles, width, height)     # (8,H,W)
     raw_c = img[0:3]
     d_img = img[3]
@@ -469,7 +477,7 @@ def _raster_bwd(width, height, interpret, res, g: TiledOut):
     pix_tiles = image_to_tiles(pix, width, height)
 
     grads = _run_backward(inst, pix_tiles, binning.tile_start,
-                          binning.tile_count, n_tiles, interpret)
+                          binning.tile_count, n_tiles, interpret, gx)
     # instances outside any tile (sentinel) or beyond the count never get
     # written — mask them out before the segment reduction
     grads = grads[:binning.gauss_id.shape[0]]

@@ -78,7 +78,9 @@ def _band_fwd(mean2d, conic, opacity, colors, depth, unc, binning, bg,
                                  unc, binning, gx)
     inst = jnp.concatenate([inst, jnp.zeros((CHUNK, INST_W), jnp.float32)], 0)
     ts, tc, n_local = _band_slices(binning, gx, rows_per_band, band)
-    tiles = rt._run_forward(inst, ts, tc, n_local, interpret)  # (L,8,PIX)
+    toff = (band * rows_per_band * gx).astype(jnp.int32).reshape(1)
+    tiles = rt._run_forward(inst, ts, tc, n_local, interpret, gx,
+                            tile_offset=toff)      # (L,8,PIX)
 
     # local band → full padded canvas at the band's row offset
     band_img = tiles.reshape(rows_per_band, gx, 8, TILE_H, TILE_W)
@@ -111,6 +113,7 @@ def _band_bwd(width, height, n_bands, interpret, res, g: TiledOut):
     # transpose of the forward's psum over TILE_AXIS: the incoming
     # cotangent of the (replicated) output must itself be psum'd — without
     # this, the hand-written vjp silently under-counts by the axis size
+    g_pre = g
     g = jax.tree.map(lambda x: jax.lax.psum(x, TILE_AXIS), g)
     g_color = g.color.transpose(2, 0, 1)
     gtt_img = (jnp.einsum('c,chw->hw', bg, g_color) + g.final_t) * t_img
@@ -130,7 +133,9 @@ def _band_bwd(width, height, n_bands, interpret, res, g: TiledOut):
         rows_per_band * gx, 8, PIX)
 
     ts, tc, n_local = _band_slices(binning, gx, rows_per_band, band)
-    grads = rt._run_backward(inst, pix_tiles, ts, tc, n_local, interpret)
+    toff = (band * rows_per_band * gx).astype(jnp.int32).reshape(1)
+    grads = rt._run_backward(inst, pix_tiles, ts, tc, n_local, interpret,
+                             gx, tile_offset=toff)
     grads = grads[:binning.gauss_id.shape[0]]
     # only this band's instance slots are written — mask the rest
     n_tiles_real = gx * gy
@@ -149,7 +154,9 @@ def _band_bwd(width, height, n_bands, interpret, res, g: TiledOut):
     d_unc = per_gauss[:, 10]
     # cotangents are partial (this band only); the outer shard_map
     # transpose inserts the psum over TILE_AXIS for replicated inputs.
-    d_bg = jnp.einsum('hw,chw->c', t_img, g_color) / n_bands
+    # bg uses the pre-psum cotangent so the outer psum yields the true
+    # (un-multiplied) gradient.
+    d_bg = jnp.einsum('hw,chw->c', t_img, g_pre.color.transpose(2, 0, 1))
     d_binning = jax.tree.map(
         lambda x: np.zeros(x.shape, jax.dtypes.float0), binning)
     return (d_mean2d, d_conic, d_op, d_col, d_depth, d_unc, d_binning, d_bg)

@@ -1,0 +1,153 @@
+"""Train → render → evaluate driver for one scene (reference train.py).
+
+Usage (SPIN-NeRF layout, mirroring reference scripts/run.py flags):
+
+    python train.py --source_path data/spinnerf/book \\
+        --model_path output/book \\
+        --specified_ply_path data/spinnerf/book/sparse/0/points3D.ply \\
+        --ref_image_path refs/book_out.png \\
+        --ref_depth_path refs/book_out_pred.npy \\
+        --voxel_size 0.005 --update_init_factor 16 --iterations 30000
+
+Synthetic smoke run (no dataset needed):
+
+    python train.py --synthetic --iterations 200 --model_path /tmp/out
+"""
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def parse_args():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--source_path", default="")
+    p.add_argument("--model_path", default="output/run")
+    p.add_argument("--specified_ply_path", default="")
+    p.add_argument("--ref_image_path", default="")
+    p.add_argument("--ref_depth_path", default="")
+    p.add_argument("--iterations", type=int, default=30000)
+    p.add_argument("--voxel_size", type=float, default=0.005)
+    p.add_argument("--update_init_factor", type=int, default=16)
+    p.add_argument("--feat_dim", type=int, default=32)
+    p.add_argument("--n_offsets", type=int, default=10)
+    p.add_argument("--start_crossattn_from", type=int, default=15000)
+    p.add_argument("--crossattn_feat_update_ema", type=float, default=0.03)
+    p.add_argument("--anchor_capacity", type=int, default=1 << 17)
+    p.add_argument("--instance_capacity", type=int, default=1 << 20)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--synthetic", action="store_true",
+                   help="train on a generated synthetic scene (no data)")
+    p.add_argument("--skip_render", action="store_true")
+    p.add_argument("--skip_eval", action="store_true")
+    p.add_argument("--save_iterations", type=int, nargs="*", default=None)
+    return p.parse_args()
+
+
+def main():
+    args = parse_args()
+    from gscream_tpu.config import ModelConfig, OptimConfig, RunConfig, \
+        save_config
+    from gscream_tpu.train.loop import get_logger, train_scene
+    from gscream_tpu.model.scaffold import ScaffoldConfig
+    from gscream_tpu.model.io import save_anchors_ply
+
+    run = RunConfig(
+        model=ModelConfig(
+            feat_dim=args.feat_dim, n_offsets=args.n_offsets,
+            voxel_size=args.voxel_size,
+            update_init_factor=args.update_init_factor,
+            source_path=args.source_path, model_path=args.model_path,
+            specified_ply_path=args.specified_ply_path,
+            ref_image_path=args.ref_image_path,
+            ref_depth_path=args.ref_depth_path,
+            anchor_capacity=args.anchor_capacity,
+            instance_capacity=args.instance_capacity),
+        optim=OptimConfig(
+            iterations=args.iterations,
+            start_crossattn_from=args.start_crossattn_from,
+            crossattn_feat_update_ema=args.crossattn_feat_update_ema),
+        seed=args.seed)
+    os.makedirs(args.model_path, exist_ok=True)
+    save_config(run, os.path.join(args.model_path, "cfg.json"))
+    logger = get_logger(args.model_path)
+
+    if args.synthetic:
+        from gscream_tpu.data.synthetic import make_scene
+        scene = make_scene(n_views=6, n_gauss=300, width=128, height=128,
+                           seed=args.seed)
+        views = scene.views
+        ref_index = scene.ref_index
+        points = scene.points
+        ref_image = ref_depth = None
+        extent = 1.0
+        test_views = views[:2]
+    else:
+        from gscream_tpu.data.dataset import load_spinnerf_scene
+        sd = load_spinnerf_scene(args.source_path,
+                                 args.specified_ply_path)
+        views = sd.train_views
+        ref_index = next((i for i, v in enumerate(views)
+                          if v.name == sd.ref_name), 0)
+        points = sd.points
+        extent = sd.cameras_extent
+        test_views = sd.test_views
+        ref_image = ref_depth = None
+        if args.ref_image_path:
+            import imageio.v2 as imageio
+            ref_image = (np.asarray(
+                imageio.imread(args.ref_image_path), np.float32)
+                / 255.0)[:, :, :3].transpose(2, 0, 1)
+        if args.ref_depth_path:
+            ref_depth = np.load(args.ref_depth_path).astype(
+                np.float32)[None]
+
+    logger.info("training %d views, %d points, %d iters",
+                len(views), len(points), args.iterations)
+    ts, log = train_scene(
+        views, ref_index, points, run, out_dir=args.model_path,
+        ref_image=ref_image, ref_depth=ref_depth,
+        spatial_lr_scale=extent, capacity=args.instance_capacity,
+        iterations=args.iterations, logger=logger)
+
+    m = run.model
+    cfg = ScaffoldConfig(
+        feat_dim=m.feat_dim, n_offsets=m.n_offsets,
+        voxel_size=m.voxel_size, capacity=m.anchor_capacity,
+        attn_heads=run.optim.attn_head_num,
+        attn_head_dim=run.optim.attn_head_dim)
+    ply_dir = os.path.join(args.model_path, "point_cloud",
+                           f"iteration_{args.iterations}")
+    save_anchors_ply(os.path.join(ply_dir, "point_cloud.ply"),
+                     ts.scaffold, cfg)
+    from gscream_tpu.model.io import save_checkpoint
+    save_checkpoint(os.path.join(args.model_path, "checkpoint"), ts)
+
+    if not args.skip_render and test_views:
+        from gscream_tpu.train.render_sets import render_set
+        res = render_set(args.model_path, "test",
+                         [v.camera for v in test_views], ts.scaffold, cfg,
+                         capacity=args.instance_capacity,
+                         gt_images=[v.image for v in test_views
+                                    if v.image is not None] or None)
+        logger.info("test FPS: %.2f", res["fps"])
+        if not args.skip_eval:
+            from gscream_tpu.train.evaluate import evaluate_pairs, \
+                write_results
+            gts = [v.image for v in test_views if v.image is not None]
+            if gts:
+                masks = [v.mask for v in test_views]
+                results = evaluate_pairs(res["renders"][:len(gts)], gts,
+                                         masks)
+                write_results(args.model_path, results)
+                logger.info("eval: %s", json.dumps(results["summary"]))
+
+
+if __name__ == "__main__":
+    main()
