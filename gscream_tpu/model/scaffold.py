@@ -200,8 +200,12 @@ def decode(state: ScaffoldState, cam_center: jnp.ndarray,
         state.alive & visible_mask)
 
     ob_view = p.anchor - cam_center[None, :]
-    ob_dist = jnp.linalg.norm(ob_view, axis=1, keepdims=True)
-    ob_dir = ob_view / jnp.maximum(ob_dist, 1e-12)
+    # dead/coincident anchors would hit ‖0‖ whose gradient is NaN (and
+    # NaN·0 poisons the whole backward) — substitute a unit view there
+    degenerate = jnp.sum(ob_view * ob_view, axis=1, keepdims=True) < 1e-18
+    safe_view = jnp.where(degenerate, jnp.array([0.0, 0.0, 1.0]), ob_view)
+    ob_dist = jnp.linalg.norm(safe_view, axis=1, keepdims=True)
+    ob_dir = safe_view / ob_dist
     x = jnp.concatenate([p.feat, ob_dir, ob_dist], axis=1)  # (C,F+4)
 
     neural_op = apply_mlp(state.mlps.opacity, x, jnp.tanh)      # (C,k)

@@ -1,4 +1,5 @@
 """Component-level timing of the render pipeline on the current backend."""
+import os
 import time
 
 import jax
@@ -66,7 +67,7 @@ def main():
     inst_p = jnp.concatenate([inst, jnp.zeros((CHUNK, INST_W))], 0)
     n_tiles = gx * (-(-height // TILE_H))
     fwd_fn = jax.jit(lambda i, ts, tc: _run_forward(i, ts, tc, n_tiles,
-                                                    interpret))
+                                                    interpret, gx))
     timeit(fwd_fn, inst_p, binning.tile_start, binning.tile_count,
            label="pallas forward kernel")
 
@@ -94,3 +95,63 @@ def main():
 
 if __name__ == "__main__":
     main()
+
+
+def bwd_parts():
+    """Micro-profile the backward side."""
+    import jax
+    import jax.numpy as jnp
+    width, height = 1297, 840
+    grad_fn, args = None, None
+    # rebuild workload pieces
+    main_args = {}
+    rngstate = {}
+    # reuse main() setup inline
+    import numpy as np
+    from gscream_tpu.cameras import make_camera
+    from gscream_tpu.model.scaffold import ScaffoldConfig, decode, \
+        init_scaffold
+    from gscream_tpu.ops.binning import bin_instances
+    from gscream_tpu.ops.projection import preprocess
+    from gscream_tpu.ops.rasterize_tiled import (
+        CHUNK, INST_W, TILE_H, TILE_W, _run_backward, image_to_tiles,
+        pack_instance_data)
+    rng = np.random.default_rng(0)
+    cfg = ScaffoldConfig(feat_dim=32, n_offsets=10, voxel_size=0.01,
+                         capacity=1 << 15)
+    pts = rng.normal(0, 0.6, (30000, 3)).astype(np.float32)
+    scaffold = init_scaffold(jax.random.PRNGKey(0), pts, cfg)
+    ks = jax.random.split(jax.random.PRNGKey(1), 3)
+    scaffold = scaffold._replace(params=scaffold.params._replace(
+        feat=0.3 * jax.random.normal(ks[0], scaffold.params.feat.shape),
+        offset=0.5 * jax.random.normal(ks[1], scaffold.params.offset.shape)))
+    cam = make_camera(np.eye(3), np.array([0.0, 0.0, 3.0]), 1.0,
+                      1.0 * height / width, width, height)
+    interpret = jax.default_backend() != "tpu"
+    dec = decode(scaffold, cam.cam_center, None, cfg)
+    splats = preprocess(dec.xyz, dec.scale, dec.rot, cam.w2c, cam.full_proj,
+                        width, height, cam.tan_fovx, cam.tan_fovy,
+                        tile_w=TILE_W, tile_h=TILE_H, active_mask=dec.active)
+    binning = bin_instances(splats, 1 << 21, width, height, TILE_W, TILE_H)
+    gx = -(-width // TILE_W)
+    n_tiles = gx * (-(-height // TILE_H))
+    inst = pack_instance_data(splats.mean2d, splats.conic, dec.opacity,
+                              dec.color, splats.depth, dec.uncertainty,
+                              binning, gx)
+    inst = jnp.concatenate([inst, jnp.zeros((CHUNK, INST_W))], 0)
+    pix = jnp.ones((8, height, width), jnp.float32)
+    pt_fn = jax.jit(lambda p: image_to_tiles(p, width, height))
+    pix_tiles = timeit(pt_fn, pix, label="image_to_tiles")
+    bk_fn = jax.jit(lambda i, p, ts, tc: _run_backward(
+        i, p, ts, tc, n_tiles, interpret, gx))
+    grads = timeit(bk_fn, inst, pix_tiles, binning.tile_start,
+                   binning.tile_count, label="pallas backward kernel")
+    gid = binning.gauss_id
+    n_g = splats.mean2d.shape[0]
+    seg_fn = jax.jit(lambda g, i: jax.ops.segment_sum(
+        g[:i.shape[0], :11], i, num_segments=n_g))
+    timeit(seg_fn, grads, gid, label="segment_sum")
+
+
+if __name__ == "__main__" and os.environ.get("BWD_PARTS"):
+    bwd_parts()
