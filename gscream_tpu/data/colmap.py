@@ -154,14 +154,23 @@ def read_points3d_text(path: str):
 
 
 def read_model(sparse_dir: str):
-    """(cameras, images, points) from a COLMAP sparse dir, binary or text."""
+    """(cameras, images, points) from a COLMAP sparse dir, binary or text.
+
+    Uses the native C++ fast path for points3D.bin when built."""
     if os.path.exists(os.path.join(sparse_dir, "cameras.bin")):
+        pts_path = os.path.join(sparse_dir, "points3D.bin")
+        points = None
+        if os.path.exists(pts_path):
+            try:
+                from .. import native
+                points = native.read_points3d(pts_path)
+            except Exception:
+                points = None
+            if points is None:
+                points = read_points3d_binary(pts_path)
         return (read_cameras_binary(os.path.join(sparse_dir, "cameras.bin")),
                 read_images_binary(os.path.join(sparse_dir, "images.bin")),
-                read_points3d_binary(
-                    os.path.join(sparse_dir, "points3D.bin"))
-                if os.path.exists(os.path.join(sparse_dir, "points3D.bin"))
-                else None)
+                points)
     return (read_cameras_text(os.path.join(sparse_dir, "cameras.txt")),
             read_images_text(os.path.join(sparse_dir, "images.txt")),
             read_points3d_text(os.path.join(sparse_dir, "points3D.txt"))

@@ -116,8 +116,6 @@ def init_scaffold(key, points: np.ndarray, cfg: ScaffoldConfig,
     voxel centers, scales initialised from the mean-3NN distance, offsets
     and features zero, opacity/uncertainty logits at σ⁻¹(0.1).
     """
-    from ..ops.knn import mean_knn_sq_dist
-
     v = cfg.voxel_size if voxel_size is None else voxel_size
     anchors = voxelize(np.asarray(points, np.float32), v)
     n = anchors.shape[0]
@@ -125,8 +123,17 @@ def init_scaffold(key, points: np.ndarray, cfg: ScaffoldConfig,
         raise ValueError(f"{n} anchors exceed capacity {cfg.capacity}")
     C, k, F = cfg.capacity, cfg.n_offsets, cfg.feat_dim
 
-    dist2 = np.maximum(np.asarray(mean_knn_sq_dist(jnp.asarray(anchors))),
-                       1e-7)
+    # host-side init: prefer the native grid KNN, fall back to JAX
+    dist2 = None
+    try:
+        from .. import native
+        dist2 = native.knn_mean3_sq(anchors)
+    except Exception:
+        dist2 = None
+    if dist2 is None:
+        from ..ops.knn import mean_knn_sq_dist
+        dist2 = np.asarray(mean_knn_sq_dist(jnp.asarray(anchors)))
+    dist2 = np.maximum(dist2, 1e-7)
     log_scale = np.log(np.sqrt(dist2))[:, None].repeat(6, axis=1)
 
     def pad(x, fill=0.0):
