@@ -60,7 +60,7 @@ def build_workload(width, height, n_anchors=30000, k=10, seed=0):
             width, height, cam.tan_fovx, cam.tan_fovy,
             tile_w=TILE_W, tile_h=TILE_H, active_mask=dec.active)
         binning = bin_instances(splats, capacity, width, height,
-                                TILE_W, TILE_H)
+                                TILE_W, TILE_H, precise=False)
         out = rasterize_tiled(splats.mean2d, splats.conic, dec.opacity,
                               dec.color, splats.depth, dec.uncertainty,
                               binning, jnp.zeros(3), width, height,
@@ -109,6 +109,7 @@ def main():
             "iter_ms": dt * 1e3,
             "instances": n_inst,
             "backend": backend,
+            "sort": "fast",
             **extra,
         }
     except Exception as e:

@@ -51,17 +51,22 @@ def _orbit_camera(angle: float, radius: float, width: int, height: int,
 
 def make_scene(n_views: int = 6, n_gauss: int = 400, width: int = 64,
                height: int = 64, seed: int = 0,
-               radius: float = 4.0) -> SyntheticScene:
+               radius: float = 2.2) -> SyntheticScene:
     """A blob of gaussians at the origin viewed from an orbit.
 
     GT images/depths come from the oracle rasterizer on a random gaussian
     cloud; the "object mask" marks a central box (stand-in for the removal
     region), and the mono depth is an affine distortion of true rendered
     depth so the scale/shift alignment path is non-trivial.
+
+    The blob is sized to fill most of the frame — a mostly-empty (black)
+    ground truth makes "kill every gaussian" a strong local optimum for
+    the masked L1 losses and stalls training, which is a property of the
+    data, not the optimizer.
     """
     rng = np.random.default_rng(seed)
-    pts = rng.normal(0, 0.5, (n_gauss, 3)).astype(np.float32)
-    scales = rng.uniform(0.04, 0.12, (n_gauss, 3)).astype(np.float32)
+    pts = rng.normal(0, 0.55, (n_gauss, 3)).astype(np.float32)
+    scales = rng.uniform(0.08, 0.2, (n_gauss, 3)).astype(np.float32)
     quats = rng.normal(size=(n_gauss, 4)).astype(np.float32)
     quats /= np.linalg.norm(quats, axis=1, keepdims=True)
     colors = rng.uniform(0, 1, (n_gauss, 3)).astype(np.float32)

@@ -7,12 +7,13 @@ TPU-native replacement for the reference's CUB pipeline
 Design for XLA (static shapes, SURVEY.md §7 hard part 2):
 
 * instance *emission* is inverted — instead of each gaussian scattering a
-  variable number of records, every output slot looks up its source gaussian
-  with a vectorized ``searchsorted`` over the exclusive prefix sum of rect
-  areas.  Slot order is identical to the reference's emission order
+  variable number of records, every output slot finds its source gaussian
+  via a boundary scatter + running max over the exclusive prefix sum of
+  rect areas.  Slot order is identical to the reference's emission order
   (gaussian-major, row-major within each rect, rasterizer_impl.cu:70-111);
-* the 64-bit ``tile<<32|depth`` radix sort becomes two stable 32-bit sorts
-  (stable by depth, then stable by tile) — same resulting order;
+* the 64-bit ``tile<<32|depth`` radix sort becomes one stable
+  lexicographic (tile, depth-bits) sort — same resulting order — with an
+  optional packed single-key fast mode (quantized depth);
 * capacity is static; overflow is *reported*, never silent (the caller can
   retry with the next capacity tier).
 """
@@ -40,14 +41,20 @@ def num_tiles(width: int, height: int, tile_w: int, tile_h: int) -> int:
 
 
 @partial(jax.jit, static_argnames=("capacity", "width", "height",
-                                   "tile_w", "tile_h"))
+                                   "tile_w", "tile_h", "precise"))
 def bin_instances(splats: Splats, capacity: int, width: int, height: int,
-                  tile_w: int, tile_h: int) -> Binning:
+                  tile_w: int, tile_h: int, precise: bool = True) -> Binning:
     """Build depth-sorted per-tile instance lists with static capacity.
 
     If ``num_instances > capacity`` the trailing instances (highest gaussian
     indices in emission order) are dropped deterministically; callers must
     check and re-run at a larger capacity tier for exact rendering.
+
+    ``precise=False`` packs (tile, depth) into a single int32 key — the
+    depth keeps its top float bits (≈2⁻¹² relative resolution), so
+    gaussians closer than that in depth may blend in emission order
+    instead of strict depth order.  Roughly halves the sort cost; only
+    available when the tile grid fits 11 bits, else falls back to exact.
     """
     grid_x = -(-width // tile_w)
     n_tiles = num_tiles(width, height, tile_w, tile_h)
@@ -84,10 +91,23 @@ def bin_instances(splats: Splats, capacity: int, width: int, height: int,
         jax.lax.bitcast_convert_type(splats.depth[g], jnp.int32),
         jnp.int32(2 ** 30))
 
-    # one lexicographic sort on (tile, depth) carrying the gaussian id —
-    # the reference's single 64-bit radix sort (rasterizer_impl.cu:306-314)
-    sorted_tile, _, sorted_gauss = jax.lax.sort(
-        (tile, depth_bits, g), num_keys=2, is_stable=True)
+    if not precise and n_tiles < 2047:
+        # single packed key: tile(11b) << 20 | depth-top-bits(20b)
+        dq = jax.lax.shift_right_logical(
+            depth_bits.astype(jnp.uint32),
+            jnp.uint32(11)).astype(jnp.int32) & 0xFFFFF
+        key = jnp.where(valid, (tile << 20) | dq,
+                        (jnp.int32(n_tiles) << 20))
+        key_s, sorted_gauss = jax.lax.sort((key, g), num_keys=1,
+                                           is_stable=True)
+        sorted_tile = jax.lax.shift_right_logical(
+            key_s.astype(jnp.uint32), jnp.uint32(20)).astype(jnp.int32)
+    else:
+        # one lexicographic sort on (tile, depth) carrying the gaussian
+        # id — the reference's single 64-bit radix sort
+        # (rasterizer_impl.cu:306-314)
+        sorted_tile, _, sorted_gauss = jax.lax.sort(
+            (tile, depth_bits, g), num_keys=2, is_stable=True)
 
     tids = jnp.arange(n_tiles, dtype=jnp.int32)
     tile_start = jnp.searchsorted(sorted_tile, tids, side='left').astype(jnp.int32)

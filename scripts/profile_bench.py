@@ -93,7 +93,7 @@ def main():
            label="rasterize fwd+bwd")
 
 
-if __name__ == "__main__":
+if __name__ == "__main__" and not os.environ.get("BWD_PARTS"):
     main()
 
 
