@@ -137,6 +137,8 @@ def train_scene(views, ref_index: int, points: np.ndarray, run: RunConfig,
     log = TrainLog()
     if logger is None:
         logger = get_logger(out_dir or ".")
+    from .metrics_log import MetricsLogger
+    mlog = MetricsLogger(out_dir or ".")
 
     ref_view = views[ref_index]
     h, w = ref_view.camera.height, ref_view.camera.width
@@ -221,11 +223,16 @@ def train_scene(views, ref_index: int, points: np.ndarray, run: RunConfig,
                              m=(m0, ts.m[1]), v=(v0, ts.v[1]))
 
         if it % 100 == 0 or it == iters:
+            anchors = int(n_alive(ts.scaffold))
             logger.info(
                 "iter %d/%d loss %.5f anchors %d instances %d "
-                "(%.1f it/s)", it, iters, loss,
-                int(n_alive(ts.scaffold)), n_inst,
+                "(%.1f it/s)", it, iters, loss, anchors, n_inst,
                 it / max(time.time() - t_start, 1e-9))
+            mlog.log(it, {"loss": loss, "l1": float(aux.l1),
+                          "iter_time": log.iter_times[-1],
+                          "total_points": anchors,
+                          "instances": n_inst})
         if callback is not None:
             callback(it, ts, aux)
+    mlog.close()
     return ts, log

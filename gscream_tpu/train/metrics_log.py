@@ -1,0 +1,42 @@
+"""Training observability: JSONL metrics + optional TensorBoard mirror.
+
+Replaces the reference's TensorBoard/wandb logging (``training_report``
+train.py:644-708): scalars (loss, iteration time, PSNR, anchor count) go to
+``metrics.jsonl`` always — greppable, plot-friendly, no dependencies — and
+mirror to TensorBoard when ``torch.utils.tensorboard`` is importable
+(torch ships in this environment).
+"""
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Dict, Optional
+
+
+class MetricsLogger:
+    def __init__(self, out_dir: str, tensorboard: bool = True):
+        os.makedirs(out_dir, exist_ok=True)
+        self._f = open(os.path.join(out_dir, "metrics.jsonl"), "a")
+        self._tb = None
+        if tensorboard:
+            try:
+                from torch.utils.tensorboard import SummaryWriter
+                self._tb = SummaryWriter(os.path.join(out_dir, "tb"))
+            except Exception:
+                self._tb = None
+        self._t0 = time.time()
+
+    def log(self, step: int, scalars: Dict[str, float]) -> None:
+        rec = {"step": step, "t": round(time.time() - self._t0, 3)}
+        rec.update({k: float(v) for k, v in scalars.items()})
+        self._f.write(json.dumps(rec) + "\n")
+        self._f.flush()
+        if self._tb is not None:
+            for k, v in scalars.items():
+                self._tb.add_scalar(k, float(v), step)
+
+    def close(self) -> None:
+        self._f.close()
+        if self._tb is not None:
+            self._tb.close()

@@ -110,11 +110,42 @@ def main():
 
     logger.info("training %d views, %d points, %d iters",
                 len(views), len(points), args.iterations)
+
+    # in-training eval at test_iterations (reference training_report,
+    # train.py:655-695)
+    def eval_callback(it, ts, aux):
+        if it not in run.test_iterations or not test_views:
+            return
+        import jax.numpy as jnp
+        from gscream_tpu.ops.losses import psnr
+        from gscream_tpu.train.render_sets import make_render_fn
+        from gscream_tpu.model.scaffold import ScaffoldConfig as SC
+        cfg_l = SC(feat_dim=run.model.feat_dim,
+                   n_offsets=run.model.n_offsets,
+                   voxel_size=run.model.voxel_size,
+                   capacity=run.model.anchor_capacity,
+                   attn_heads=run.optim.attn_head_num,
+                   attn_head_dim=run.optim.attn_head_dim)
+        cam0 = test_views[0].camera
+        rf = make_render_fn(ts.scaffold, cfg_l, cam0.width, cam0.height,
+                            args.instance_capacity)
+        vals = []
+        for v in test_views[:4]:
+            if v.image is None:
+                continue
+            out, _ = rf(ts.scaffold.params, ts.scaffold.mlps, v.camera)
+            vals.append(float(psnr(out.color.transpose(2, 0, 1),
+                                   jnp.asarray(v.image))))
+        if vals:
+            logger.info("[ITER %d] test PSNR %.3f", it,
+                        sum(vals) / len(vals))
+
     ts, log = train_scene(
         views, ref_index, points, run, out_dir=args.model_path,
         ref_image=ref_image, ref_depth=ref_depth,
         spatial_lr_scale=extent, capacity=args.instance_capacity,
-        iterations=args.iterations, logger=logger)
+        iterations=args.iterations, logger=logger,
+        callback=eval_callback)
 
     m = run.model
     cfg = ScaffoldConfig(
