@@ -94,12 +94,9 @@ def pack_instance_data(splats_mean2d, conic, opacity, colors, depth, unc,
     attrs = jnp.concatenate([
         splats_mean2d, conic, opacity[:, None], colors,
         depth[:, None], unc[:, None],
-        jnp.zeros((splats_mean2d.shape[0], 5), jnp.float32),
-    ], axis=1)                                     # (N, 16)
-    # gather the narrow rows, then pad to the DMA-aligned width — the
-    # gather moves 8× less data than gathering pre-padded 128-wide rows
-    inst16 = attrs[binning.gauss_id]               # (capacity, 16)
-    return jnp.pad(inst16, ((0, 0), (0, INST_W - 16)))
+    ], axis=1)                                     # (N, 11)
+    attrs = jnp.pad(attrs, ((0, 0), (0, INST_W - attrs.shape[1])))
+    return attrs[binning.gauss_id]                 # one row-gather
 
 
 def tiles_to_image(tiles: jnp.ndarray, width: int, height: int):
