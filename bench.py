@@ -90,17 +90,20 @@ def time_config(width, height, iters=10):
 
 
 def main():
+    import os
     try:
         import jax
         backend = jax.default_backend()
         rays, dt, n_inst = time_config(1297, 840, iters=10)
         extra = {}
-        try:
-            rays_q, dt_q, _ = time_config(1008, 567, iters=10)
-            extra = {"rays_per_s_1008x567": rays_q,
-                     "iter_ms_1008x567": dt_q * 1e3}
-        except Exception:
-            pass
+        # the secondary config doubles (remote) compile time — opt-in
+        if os.environ.get("GSCREAM_BENCH_EXTRA"):
+            try:
+                rays_q, dt_q, _ = time_config(1008, 567, iters=10)
+                extra = {"rays_per_s_1008x567": rays_q,
+                         "iter_ms_1008x567": dt_q * 1e3}
+            except Exception:
+                pass
         result = {
             "metric": "rays_per_s_fwd_bwd_1297x840",
             "value": rays,

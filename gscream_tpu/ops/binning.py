@@ -77,19 +77,29 @@ def bin_instances(splats: Splats, capacity: int, width: int, height: int,
         gid, mode='drop')
     g = jax.lax.cummax(marks)
 
-    local = slot - offsets[g]
-    rw = jnp.maximum(rect_w[g], 1)
-    tile_x = splats.rect_min[g, 0] + local % rw
-    tile_y = splats.rect_min[g, 1] + local // rw
+    # one fused row-gather for every per-gaussian emission attribute —
+    # TPU gathers pay a large per-row overhead, so five separate scalar
+    # gathers of 2M elements cost ~20× one (N,8)-row gather (profiled)
+    emit_tab = jnp.stack([
+        offsets.astype(jnp.int32),
+        splats.rect_min[:, 0], splats.rect_min[:, 1],
+        jnp.maximum(rect_w, 1).astype(jnp.int32),
+        jax.lax.bitcast_convert_type(splats.depth, jnp.int32),
+        jnp.zeros_like(offsets, dtype=jnp.int32),
+        jnp.zeros_like(offsets, dtype=jnp.int32),
+        jnp.zeros_like(offsets, dtype=jnp.int32),
+    ], axis=1)                                   # (N,8) int32
+    et = emit_tab[g]                             # (capacity,8) row gather
+    local = slot - et[:, 0]
+    rw = et[:, 3]
+    tile_x = et[:, 1] + local % rw
+    tile_y = et[:, 2] + local // rw
     tile = tile_y * grid_x + tile_x
 
     valid = slot < jnp.minimum(total, capacity)
     tile = jnp.where(valid, tile, n_tiles).astype(jnp.int32)
     # depth as a sortable int key: positive-float bits order like floats
-    depth_bits = jnp.where(
-        valid,
-        jax.lax.bitcast_convert_type(splats.depth[g], jnp.int32),
-        jnp.int32(2 ** 30))
+    depth_bits = jnp.where(valid, et[:, 4], jnp.int32(2 ** 30))
 
     if not precise and n_tiles < 2047:
         # single packed key: tile(11b) << 20 | depth-top-bits(20b)

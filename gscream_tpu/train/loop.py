@@ -114,7 +114,8 @@ def train_scene(views, ref_index: int, points: np.ndarray, run: RunConfig,
                 interpret: Optional[bool] = None,
                 iterations: Optional[int] = None,
                 callback: Optional[Callable] = None,
-                logger: Optional[logging.Logger] = None):
+                logger: Optional[logging.Logger] = None,
+                pretrained_ply: str = ""):
     """Train one scene.  ``views`` is a list of objects with
     ``.camera/.image/.mask/.depth/.name``; the reference view's image/depth
     are substituted by the provided inpainted artifacts (train.py:354-365,
@@ -133,6 +134,15 @@ def train_scene(views, ref_index: int, points: np.ndarray, run: RunConfig,
     rng = np.random.default_rng(run.seed)
 
     scaffold = init_scaffold(jax.random.PRNGKey(run.seed), points, cfg)
+    if pretrained_ply:
+        # two-phase retrain from a saved anchor cloud (the reference's
+        # --warmup path, train.py:1077-1080)
+        from ..model.io import load_anchors_ply
+        params, alive = load_anchors_ply(pretrained_ply, cfg)
+        scaffold = scaffold._replace(params=params, alive=alive)
+        logger_ = logger or get_logger(out_dir or ".")
+        logger_.info("warm-started %d anchors from %s",
+                     int(jnp.sum(alive)), pretrained_ply)
     ts = init_train_state(scaffold, cfg, jax.random.PRNGKey(run.seed + 1))
     log = TrainLog()
     if logger is None:

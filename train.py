@@ -47,6 +47,11 @@ def parse_args():
     p.add_argument("--skip_render", action="store_true")
     p.add_argument("--skip_eval", action="store_true")
     p.add_argument("--save_iterations", type=int, nargs="*", default=None)
+    p.add_argument("--pretrained_ply", default="",
+                   help="warm-start anchors from a saved point_cloud.ply "
+                        "(the reference's --warmup two-phase retrain)")
+    p.add_argument("--render_spiral", action="store_true",
+                   help="also render the 120-pose spiral path")
     return p.parse_args()
 
 
@@ -145,7 +150,7 @@ def main():
         ref_image=ref_image, ref_depth=ref_depth,
         spatial_lr_scale=extent, capacity=args.instance_capacity,
         iterations=args.iterations, logger=logger,
-        callback=eval_callback)
+        callback=eval_callback, pretrained_ply=args.pretrained_ply)
 
     m = run.model
     cfg = ScaffoldConfig(
@@ -168,6 +173,17 @@ def main():
                          gt_images=[v.image for v in test_views
                                     if v.image is not None] or None)
         logger.info("test FPS: %.2f", res["fps"])
+        if args.render_spiral and not args.synthetic:
+            from gscream_tpu.cameras import make_camera_from_c2w
+            sd_spiral = getattr(sd, "spiral_c2ws", None)
+            if sd_spiral is not None:
+                spiral_cams = [make_camera_from_c2w(
+                    c2w, sd.fov_x, sd.fov_y, sd.width, sd.height,
+                    sd.cx_ndc, sd.cy_ndc) for c2w in sd_spiral]
+                sres = render_set(args.model_path, "spiral", spiral_cams,
+                                  ts.scaffold, cfg,
+                                  capacity=args.instance_capacity)
+                logger.info("spiral FPS: %.2f", sres["fps"])
         if not args.skip_eval:
             from gscream_tpu.train.evaluate import evaluate_pairs, \
                 write_results
