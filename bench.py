@@ -89,8 +89,22 @@ def time_config(width, height, iters=10):
     return width * height / dt, dt, n_inst
 
 
+
+def _enable_compile_cache():
+    """Persistent XLA compile cache — remote TPU compiles here cost minutes;
+    caching makes reruns of identical programs instant."""
+    try:
+        import jax
+        jax.config.update("jax_compilation_cache_dir",
+                          "/root/.cache/jax_comp")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+
 def main():
     import os
+    _enable_compile_cache()
     try:
         import jax
         backend = jax.default_backend()

@@ -1,0 +1,96 @@
+"""Data-layer tests: COLMAP text/binary, spiral path, SPIN-NeRF reader."""
+import os
+import struct
+
+import numpy as np
+import pytest
+
+from gscream_tpu.data import colmap
+from gscream_tpu.data.spiral import average_pose, get_spiral
+
+
+def _write_minimal_colmap(sparse, n_imgs=3):
+    os.makedirs(sparse, exist_ok=True)
+    with open(os.path.join(sparse, "cameras.bin"), "wb") as f:
+        f.write(struct.pack("<Q", 1))
+        # SIMPLE_RADIAL (id 2): 4 params
+        f.write(struct.pack("<iiQQ", 1, 2, 1000, 800))
+        f.write(struct.pack("<4d", 800.0, 500.0, 400.0, 0.0))
+    with open(os.path.join(sparse, "images.bin"), "wb") as f:
+        f.write(struct.pack("<Q", n_imgs))
+        for i in range(n_imgs):
+            f.write(struct.pack("<i", i + 1))
+            q = np.array([1.0, 0.0, 0.0, 0.0])
+            f.write(struct.pack("<4d", *q))
+            f.write(struct.pack("<3d", 0.1 * i, 0.0, 2.0))
+            f.write(struct.pack("<i", 1))
+            f.write(f"IMG_{i:04d}.jpg".encode() + b"\x00")
+            f.write(struct.pack("<Q", 0))
+    with open(os.path.join(sparse, "points3D.bin"), "wb") as f:
+        f.write(struct.pack("<Q", 5))
+        for i in range(5):
+            f.write(struct.pack("<Q", i))
+            f.write(struct.pack("<3d", i * 0.1, 0.0, 1.0))
+            f.write(struct.pack("<3B", 10, 20, 30))
+            f.write(struct.pack("<d", 0.5))
+            f.write(struct.pack("<Q", 0))
+
+
+def test_colmap_binary_reader(tmp_path):
+    sparse = str(tmp_path / "sparse" / "0")
+    _write_minimal_colmap(sparse)
+    cams, imgs, pts = colmap.read_model(sparse)
+    assert cams[1].model == "SIMPLE_RADIAL"
+    assert cams[1].width == 1000
+    assert len(imgs) == 3
+    assert imgs[1].name == "IMG_0000.jpg"
+    np.testing.assert_allclose(imgs[2].tvec, [0.1, 0.0, 2.0])
+    xyz, rgb, err = pts
+    assert xyz.shape == (5, 3)
+    assert rgb[0].tolist() == [10, 20, 30]
+
+
+def test_colmap_text_reader(tmp_path):
+    p = tmp_path / "cameras.txt"
+    p.write_text("# comment\n1 PINHOLE 640 480 500 500 320 240\n")
+    cams = colmap.read_cameras_text(str(p))
+    assert cams[1].model == "PINHOLE" and cams[1].params[0] == 500
+
+
+def test_spiral_path_shape_and_radius(rng):
+    # cameras on a circle looking at origin (c2w with z toward origin)
+    c2ws = []
+    for a in np.linspace(0, 2 * np.pi, 8, endpoint=False):
+        eye = np.array([2 * np.sin(a), 0.1, -2 * np.cos(a)])
+        fwd = -eye / np.linalg.norm(eye)
+        up = np.array([0.0, 1.0, 0.0])
+        right = np.cross(up, fwd); right /= np.linalg.norm(right)
+        true_up = np.cross(fwd, right)
+        c2w = np.stack([right, true_up, fwd, eye], 1)
+        c2ws.append(c2w)
+    c2ws = np.stack(c2ws)
+    near_fars = np.tile([1.0, 6.0], (8, 1))
+    poses = get_spiral(c2ws, near_fars, rads_scale=0.4, n_views=120)
+    assert poses.shape == (120, 4, 4)
+    # rotations orthonormal
+    R = poses[:, :3, :3]
+    eye3 = np.einsum('nij,nkj->nik', R, R)
+    np.testing.assert_allclose(eye3, np.tile(np.eye(3), (120, 1, 1)),
+                               atol=1e-6)
+    # path centers stay near the average pose center
+    avg = average_pose(c2ws)
+    d = np.linalg.norm(poses[:, :3, 3] - avg[:, 3], axis=1)
+    assert d.max() < 2.0
+
+
+def test_spinnerf_reader_minimal(tmp_path):
+    """Reader handles a bare COLMAP scene (no images on disk)."""
+    from gscream_tpu.data.dataset import load_spinnerf_scene
+    src = str(tmp_path / "scene")
+    _write_minimal_colmap(os.path.join(src, "sparse", "0"))
+    sd = load_spinnerf_scene(src, load_images=False)
+    assert len(sd.train_views) + len(sd.test_views) == 3
+    assert sd.points.shape == (5, 3)
+    assert sd.cameras_extent > 0
+    # NDC principal point from SIMPLE_RADIAL params
+    assert abs(sd.cx_ndc - ((500 - 500) / 1000 * 2)) < 1e-9

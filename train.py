@@ -55,7 +55,21 @@ def parse_args():
     return p.parse_args()
 
 
+
+def _enable_compile_cache():
+    """Persistent XLA compile cache — remote TPU compiles here cost minutes;
+    caching makes reruns of identical programs instant."""
+    try:
+        import jax
+        jax.config.update("jax_compilation_cache_dir",
+                          "/root/.cache/jax_comp")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+
 def main():
+    _enable_compile_cache()
     args = parse_args()
     from gscream_tpu.config import ModelConfig, OptimConfig, RunConfig, \
         save_config
