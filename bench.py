@@ -91,15 +91,12 @@ def time_config(width, height, iters=10):
 
 
 def _enable_compile_cache():
-    """Persistent XLA compile cache — remote TPU compiles here cost minutes;
-    caching makes reruns of identical programs instant."""
-    try:
-        import jax
-        jax.config.update("jax_compilation_cache_dir",
-                          "/root/.cache/jax_comp")
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
-        pass
+    from gscream_tpu.precision import enable_compile_cache, \
+        ensure_fp32_matmuls
+    enable_compile_cache()
+    # training-accurate precision: bf16 default matmuls break training
+    # (see gscream_tpu/precision.py) so the benchmark measures fp32 mode
+    ensure_fp32_matmuls()
 
 
 def main():

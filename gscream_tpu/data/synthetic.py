@@ -89,9 +89,13 @@ def make_scene(n_views: int = 6, n_gauss: int = 400, width: int = 64,
         mask = np.zeros((1, height, width), np.float32)
         mask[:, height // 3: 2 * height // 3,
              width // 3: 2 * width // 3] = 1.0
-        # affine "monocular" depth in [0,1]-ish with flipped sign
+        # affine "monocular" depth in [0,1]-ish.  Positively correlated
+        # with true depth: the reference's |scale| guard in the
+        # scale/shift alignment (train.py:548) assumes Marigold-style
+        # positive correlation — an anti-correlated target would make the
+        # depth loss fight the geometry.
         d = depth / max(depth.max(), 1e-6)
-        mono = (0.9 - 0.8 * d).astype(np.float32)[None]
+        mono = (0.1 + 0.8 * d).astype(np.float32)[None]
         views.append(SyntheticView(camera=cam, image=img.astype(np.float32),
                                    mask=mask, depth=mono,
                                    name=f"view_{i:03d}"))

@@ -120,6 +120,8 @@ def train_scene(views, ref_index: int, points: np.ndarray, run: RunConfig,
     ``.camera/.image/.mask/.depth/.name``; the reference view's image/depth
     are substituted by the provided inpainted artifacts (train.py:354-365,
     425-430).  Returns (TrainState, TrainLog)."""
+    from ..precision import ensure_fp32_matmuls
+    ensure_fp32_matmuls()
     m, opt = run.model, run.optim
     cfg = ScaffoldConfig(
         feat_dim=m.feat_dim, n_offsets=m.n_offsets,

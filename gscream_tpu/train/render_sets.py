@@ -155,7 +155,7 @@ def normals_from_depth(depth: np.ndarray, c2w: np.ndarray, K: np.ndarray,
     det = np.linalg.det(AtA)
     AtA[det < 1e-5] = np.eye(3)
     Atb = A.sum(1)                     # A^T @ ones
-    n = np.linalg.solve(AtA, Atb)
+    n = np.linalg.solve(AtA, Atb[..., None])[..., 0]
     n /= np.maximum(np.linalg.norm(n, axis=1, keepdims=True), 1e-12)
     n = np.nan_to_num(n)
     return (-n).reshape(h, w, 3).transpose(2, 0, 1)

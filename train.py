@@ -57,15 +57,10 @@ def parse_args():
 
 
 def _enable_compile_cache():
-    """Persistent XLA compile cache — remote TPU compiles here cost minutes;
-    caching makes reruns of identical programs instant."""
-    try:
-        import jax
-        jax.config.update("jax_compilation_cache_dir",
-                          "/root/.cache/jax_comp")
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
-        pass
+    from gscream_tpu.precision import enable_compile_cache, \
+        ensure_fp32_matmuls
+    enable_compile_cache()
+    ensure_fp32_matmuls()
 
 
 def main():
