@@ -34,6 +34,8 @@ class Binning(NamedTuple):
     tile_start: jnp.ndarray  # (num_tiles,) int32 first slot of each tile
     tile_count: jnp.ndarray  # (num_tiles,) int32 instances in each tile
     num_instances: jnp.ndarray  # () int32 total emitted (may exceed capacity!)
+    emit_slot: jnp.ndarray   # (capacity,) int32 emission index of each sorted slot
+    offsets: jnp.ndarray     # (N+1,) int32 emission range starts per gaussian
 
 
 def num_tiles(width: int, height: int, tile_w: int, tile_h: int) -> int:
@@ -108,23 +110,29 @@ def bin_instances(splats: Splats, capacity: int, width: int, height: int,
             jnp.uint32(11)).astype(jnp.int32) & 0xFFFFF
         key = jnp.where(valid, (tile << 20) | dq,
                         (jnp.int32(n_tiles) << 20))
-        key_s, sorted_gauss = jax.lax.sort((key, g), num_keys=1,
-                                           is_stable=True)
+        key_s, sorted_gauss, emit_slot = jax.lax.sort(
+            (key, g, slot), num_keys=1, is_stable=True)
         sorted_tile = jax.lax.shift_right_logical(
             key_s.astype(jnp.uint32), jnp.uint32(20)).astype(jnp.int32)
     else:
         # one lexicographic sort on (tile, depth) carrying the gaussian
         # id — the reference's single 64-bit radix sort
         # (rasterizer_impl.cu:306-314)
-        sorted_tile, _, sorted_gauss = jax.lax.sort(
-            (tile, depth_bits, g), num_keys=2, is_stable=True)
+        sorted_tile, _, sorted_gauss, emit_slot = jax.lax.sort(
+            (tile, depth_bits, g, slot), num_keys=2, is_stable=True)
 
     tids = jnp.arange(n_tiles, dtype=jnp.int32)
     tile_start = jnp.searchsorted(sorted_tile, tids, side='left').astype(jnp.int32)
     tile_end = jnp.searchsorted(sorted_tile, tids, side='right').astype(jnp.int32)
 
+    all_offsets = jnp.concatenate(
+        [offsets.astype(jnp.int32),
+         total.astype(jnp.int32).reshape(1)])
+    all_offsets = jnp.minimum(all_offsets, capacity)
     return Binning(gauss_id=sorted_gauss.astype(jnp.int32),
                    tile_id=sorted_tile,
                    tile_start=tile_start,
                    tile_count=tile_end - tile_start,
-                   num_instances=total.astype(jnp.int32))
+                   num_instances=total.astype(jnp.int32),
+                   emit_slot=emit_slot.astype(jnp.int32),
+                   offsets=all_offsets)

@@ -475,6 +475,107 @@ def _run_backward(inst_data, pix_tiles, tile_start, tile_count,
 
 
 # ---------------------------------------------------------------------------
+# per-gaussian segment reduction (replaces the XLA scatter-add, which
+# costs ~150 ms at 2M instances — TPU scatters are element-rate bound)
+
+SEG_GB = 256       # gaussians per reduction block
+SEG_RCAP = 256     # packed rows (8 instances each) per inner step
+
+
+def _segreduce_kernel(off_ref, packed_hbm, out_ref, buf, sem):
+    """Sum emission-contiguous instance-gradient runs per gaussian.
+
+    packed_hbm: (rows,128) — 8 instances × 16 floats per row, emission
+    order.  off_ref: (1, SEG_GB+1) this block's gaussian offsets.  For
+    each sub-lane-group φ an indicator matmul S_φ @ X accumulates every
+    instance of each gaussian; the φ-th 16-lane slice of the product is
+    the per-gaussian sum for instances at position φ within their row.
+    """
+    start_i = off_ref[0, 0]
+    end_i = off_ref[SEG_GB, 0]
+    r0 = start_i // 8
+    r1 = (end_i + 7) // 8
+    nchunks = pl.cdiv(r1 - r0, SEG_RCAP)
+
+    out_ref[...] = jnp.zeros((SEG_GB, 16), jnp.float32)
+    lo = off_ref[0:SEG_GB, :]                      # (SEG_GB,1) [lo, hi)
+    hi = off_ref[1:SEG_GB + 1, :]
+    riota = jax.lax.broadcasted_iota(jnp.int32, (1, SEG_RCAP), 1)
+
+    def body(j, _):
+        cp = pltpu.make_async_copy(
+            packed_hbm.at[pl.ds(r0 + j * SEG_RCAP, SEG_RCAP), :],
+            buf, sem)
+        cp.start()
+        cp.wait()
+        x = buf[...]                               # (SEG_RCAP,128)
+        row_base = r0 + j * SEG_RCAP
+        acc = jnp.zeros((SEG_GB, 16), jnp.float32)
+        for phi in range(8):
+            inst = (row_base + riota) * 8 + phi    # (1,SEG_RCAP)
+            s = ((inst >= lo) & (inst < hi)).astype(jnp.float32)
+            y = jax.lax.dot_general(
+                s, x, (((1,), (0,)), ((), ())),
+                precision=_HIGHEST,
+                preferred_element_type=jnp.float32)   # (SEG_GB,128)
+            acc = acc + y[:, 16 * phi:16 * phi + 16]
+        out_ref[...] += acc
+        return 0
+
+    jax.lax.fori_loop(0, nchunks, body, 0)
+
+
+def segment_reduce_grads(grads_sorted, binning: Binning, n_gauss: int,
+                         interpret: bool):
+    """(capacity, INST_W) sorted-order instance grads → (N, 16) sums.
+
+    Pipeline: invert the binning permutation with one 2-int sort, row-
+    gather the first 16 columns into emission order, pack 8 instances per
+    128-lane row, then run the indicator-matmul reduction kernel.
+    """
+    cap = binning.emit_slot.shape[0]
+    iota = jnp.arange(cap, dtype=jnp.int32)
+    _, inv = jax.lax.sort((binning.emit_slot, iota), num_keys=1,
+                          is_stable=True)          # inv[e] = sorted pos
+    ge = grads_sorted[:, :16][inv]                 # (cap,16) emission order
+    rows = cap // 8
+    packed = ge.reshape(rows, 128)
+    packed = jnp.concatenate(
+        [packed, jnp.zeros((SEG_RCAP, 128), jnp.float32)], axis=0)
+
+    n_pad = -(-n_gauss // SEG_GB) * SEG_GB
+    offs = jnp.pad(binning.offsets, (0, n_pad + 1 - binning.offsets.shape[0]),
+                   mode="edge")
+    # per-block overlapped offset windows (SEG_GB+1 each), sublane-major
+    idx = (jnp.arange(n_pad // SEG_GB)[:, None] * SEG_GB
+           + jnp.arange(SEG_GB + 1)[None, :])
+    off_blocks = offs[idx][..., None]              # (n_blocks, SEG_GB+1, 1)
+
+    n_blocks = n_pad // SEG_GB
+    out = pl.pallas_call(
+        _segreduce_kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=0,
+            grid=(n_blocks,),
+            in_specs=[
+                pl.BlockSpec((None, SEG_GB + 1, 1), lambda b: (b, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pl.ANY),
+            ],
+            out_specs=pl.BlockSpec((None, SEG_GB, 16), lambda b: (b, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=[
+                pltpu.VMEM((SEG_RCAP, 128), jnp.float32),
+                pltpu.SemaphoreType.DMA(()),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((n_blocks, SEG_GB, 16), jnp.float32),
+        interpret=interpret,
+    )(off_blocks, packed)
+    return out.reshape(n_pad, 16)[:n_gauss]
+
+
+# ---------------------------------------------------------------------------
 # custom_vjp wrapper
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10))
@@ -539,11 +640,13 @@ def _raster_bwd(width, height, interpret, res, g: TiledOut):
     valid_slot = binning.tile_id < n_tiles
     grads = jnp.where(valid_slot[:, None], grads, 0.0)
 
-    gid = binning.gauss_id
-    # one fused multi-column segment reduction (single deterministic
-    # scatter-add) instead of 11 independent ones
-    per_gauss = jax.ops.segment_sum(grads[:, :11], gid,
-                                    num_segments=n_gauss)
+    if os.environ.get("GSCREAM_SCATTER_REDUCE"):
+        # fallback: XLA scatter-add (~150 ms at 2M instances)
+        per_gauss = jax.ops.segment_sum(grads[:, :11], binning.gauss_id,
+                                        num_segments=n_gauss)
+    else:
+        per_gauss = segment_reduce_grads(grads, binning, n_gauss,
+                                         interpret)[:, :11]
     d_mean2d = per_gauss[:, 0:2]
     d_conic = per_gauss[:, 2:5]
     d_op = per_gauss[:, 5]
