@@ -326,6 +326,18 @@ def _bwd_kernel(grid_x, tile_start, tile_count, tile_off, inst_hbm,
     carry[...] = jnp.zeros((1, PIX), jnp.float32)
     prefr[...] = jnp.zeros((1, PIX), jnp.float32)
 
+    # loop-invariant pixel-cotangent rows
+    gr = pix_ref[0:1, :]
+    gg = pix_ref[1:2, :]
+    gb = pix_ref[2:3, :]
+    gd = pix_ref[3:4, :]
+    gu = pix_ref[4:5, :]
+    total = pix_ref[5:6, :]
+    gtt = pix_ref[6:7, :]
+    gstack = jnp.concatenate([gr, gg, gb, gd, gu,
+                              jnp.zeros_like(gr), jnp.zeros_like(gr),
+                              jnp.zeros_like(gr)], axis=0)       # (8,PIX)
+
     def get_dma(slot, k):
         return pltpu.make_async_copy(
             inst_hbm.at[pl.ds(start + k * CHUNK, CHUNK), :],
@@ -358,14 +370,6 @@ def _bwd_kernel(grid_x, tile_start, tile_count, tile_off, inst_hbm,
         applied = valid & (p_inc >= T_STOP)
         w = jnp.where(applied, alpha * p_exc, 0.0)
 
-        gr = pix_ref[0:1, :]
-        gg = pix_ref[1:2, :]
-        gb = pix_ref[2:3, :]
-        gd = pix_ref[3:4, :]
-        gu = pix_ref[4:5, :]
-        total = pix_ref[5:6, :]
-        gtt = pix_ref[6:7, :]
-
         # γ_ip = c_i·g_p (per-channel dot), (CHUNK,PIX)
         gamma = (data[:, 6:7] * gr + data[:, 7:8] * gg + data[:, 8:9] * gb
                  + data[:, 9:10] * gd + data[:, 10:11] * gu)
@@ -379,9 +383,6 @@ def _bwd_kernel(grid_x, tile_start, tile_count, tile_off, inst_hbm,
 
         # per-instance reductions over pixels (all on the MXU):
         # 1) color/depth/unc grads: W @ [g...] → (CHUNK,5)
-        gstack = jnp.concatenate([gr, gg, gb, gd, gu,
-                                  jnp.zeros_like(gr), jnp.zeros_like(gr),
-                                  jnp.zeros_like(gr)], axis=0)   # (8,PIX)
         dfeat = jax.lax.dot_general(
             w, gstack, (((1,), (1,)), ((), ())),
             precision=_HIGHEST, preferred_element_type=jnp.float32)  # (CHUNK,8)
