@@ -180,6 +180,7 @@ def train_scene(views, ref_index: int, points: np.ndarray, run: RunConfig,
     order: List[int] = []
     zero_box = jnp.zeros(4, jnp.int32)
     t_start = time.time()
+    cur_capacity = capacity
     for it in range(1, iters + 1):
         if not order:
             order = list(rng.permutation(len(dev_views)))
@@ -206,7 +207,7 @@ def train_scene(views, ref_index: int, points: np.ndarray, run: RunConfig,
         ts, aux = train_step(
             ts, v["camera"], v["image"], v["mask"], v["depth"], fg_box,
             cross_box, cfg=cfg, opt=opt, is_ref=v["is_ref"],
-            use_crossattn=use_cross, capacity=capacity,
+            use_crossattn=use_cross, capacity=cur_capacity,
             interpret=interpret, width=w, height=h,
             accumulate=accumulate,
             white_bg=m.white_background,
@@ -216,9 +217,17 @@ def train_scene(views, ref_index: int, points: np.ndarray, run: RunConfig,
         log.iter_times.append(time.time() - t0)
 
         n_inst = int(aux.num_instances)
-        if n_inst > capacity:
-            logger.warning("iter %d: instance overflow %d > %d "
-                           "(rendering truncated)", it, n_inst, capacity)
+        if n_inst > cur_capacity:
+            # capacity-tier retry: next steps recompile at the next tier
+            # so no instances are dropped (SURVEY §7 hard part 2)
+            new_cap = cur_capacity
+            while n_inst > new_cap:
+                new_cap *= 2
+            logger.warning(
+                "iter %d: instance overflow %d > %d — raising capacity "
+                "tier to %d (recompiles once)", it, n_inst, cur_capacity,
+                new_cap)
+            cur_capacity = new_cap
 
         # densification (train.py:599-606)
         if opt.update_from < it <= opt.update_until \
