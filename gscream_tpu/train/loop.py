@@ -212,11 +212,19 @@ def train_scene(views, ref_index: int, points: np.ndarray, run: RunConfig,
             accumulate=accumulate,
             white_bg=m.white_background,
             spatial_lr_scale=spatial_lr_scale)
-        loss = float(aux.loss)
-        log.losses.append(loss)
         log.iter_times.append(time.time() - t0)
 
-        n_inst = int(aux.num_instances)
+        # lazy host sync: pulling scalars every iteration serializes the
+        # device pipeline (the reference pays the same for its tqdm);
+        # sync on the logging cadence and on densification boundaries
+        sync_now = (it % 10 == 0 or it == iters
+                    or (opt.update_from < it <= opt.update_until
+                        and it % opt.update_interval == 0))
+        loss = float(aux.loss) if sync_now else float("nan")
+        if sync_now:
+            log.losses.append(loss)
+
+        n_inst = int(aux.num_instances) if sync_now else 0
         if n_inst > cur_capacity:
             # capacity-tier retry: next steps recompile at the next tier
             # so no instances are dropped (SURVEY §7 hard part 2)

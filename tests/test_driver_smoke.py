@@ -1,0 +1,41 @@
+"""End-to-end driver smoke: train.py --synthetic on CPU, tiny config.
+
+Covers the full orchestration surface — config persistence, training with
+densification stats, PLY + orbax checkpoint save, render set, evaluation
+JSONs — in one small run.
+"""
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+
+@pytest.mark.timeout(540)
+def test_train_py_synthetic(tmp_path):
+    out = str(tmp_path / "run")
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"   # conftest trick is in-process only;
+    # the subprocess must pin CPU itself — train.py honors JAX_PLATFORMS
+    # unless the axon sitecustomize overrides, so force via config below.
+    code = (
+        "import jax; jax.config.update('jax_platforms','cpu');"
+        "import sys; sys.argv = ['train.py','--synthetic','--iterations',"
+        f"'25','--model_path','{out}','--anchor_capacity','1024',"
+        "'--instance_capacity','32768','--n_offsets','2','--feat_dim','8',"
+        "'--voxel_size','0.1'];"
+        "exec(open('train.py').read())"
+    )
+    res = subprocess.run([sys.executable, "-c", code], cwd="/root/repo",
+                         capture_output=True, text=True, timeout=520)
+    assert res.returncode == 0, res.stderr[-2000:]
+    # artifacts
+    assert os.path.exists(os.path.join(out, "cfg.json"))
+    assert os.path.exists(os.path.join(out, "metrics.jsonl"))
+    assert os.path.exists(os.path.join(
+        out, "point_cloud", "iteration_25", "point_cloud.ply"))
+    assert os.path.exists(os.path.join(out, "results.json"))
+    with open(os.path.join(out, "results.json")) as f:
+        r = json.load(f)
+    assert "PSNR" in r["ours"]
