@@ -53,7 +53,8 @@ class StepAux(NamedTuple):
 
 def render_from_params(params, mlps, scaffold: ScaffoldState, camera: Camera,
                        bg, screen_zero, cfg: ScaffoldConfig,
-                       capacity: int, interpret: bool):
+                       capacity: int, interpret: bool,
+                       precise_sort: bool = True):
     """Decode + rasterize from explicit (differentiable) param trees."""
     st = scaffold._replace(params=params, mlps=mlps)
     dec = decode(st, camera.cam_center, None, cfg)
@@ -63,7 +64,7 @@ def render_from_params(params, mlps, scaffold: ScaffoldState, camera: Camera,
         tile_w=TILE_W, tile_h=TILE_H, active_mask=dec.active)
     mean2d = splats.mean2d + screen_zero
     binning = bin_instances(splats, capacity, camera.width, camera.height,
-                            TILE_W, TILE_H)
+                            TILE_W, TILE_H, precise=precise_sort)
     out = rasterize_tiled(mean2d, splats.conic, dec.opacity, dec.color,
                           splats.depth, dec.uncertainty, binning, bg,
                           camera.width, camera.height, interpret)
@@ -173,13 +174,14 @@ def loss_terms(out, gt_image, gt_mask, midas_depth, fg_box_mask,
     jax.jit,
     static_argnames=("cfg", "opt", "is_ref", "use_crossattn", "capacity",
                      "interpret", "width", "height", "accumulate",
-                     "white_bg", "spatial_lr_scale"))
+                     "white_bg", "spatial_lr_scale", "precise_sort"))
 def train_step(ts: TrainState, camera: Camera, gt_image, gt_mask,
                midas_depth, fg_box_mask, cross_box,
                *, cfg: ScaffoldConfig, opt: OptimConfig, is_ref: bool,
                use_crossattn: bool, capacity: int, interpret: bool,
                width: int, height: int, accumulate: bool,
-               white_bg: bool = False, spatial_lr_scale: float = 1.0):
+               white_bg: bool = False, spatial_lr_scale: float = 1.0,
+               precise_sort: bool = True):
     """One optimization iteration.  Returns (new_state, StepAux).
 
     gt_image (3,H,W) · gt_mask (1,H,W) · midas_depth (1,H,W) ·
@@ -224,7 +226,7 @@ def train_step(ts: TrainState, camera: Camera, gt_image, gt_mask,
         ap = anchor_params._replace(feat=feat)
         out, dec, splats, binning = render_from_params(
             ap, mlps, scaffold, camera, bg, screen_zero, cfg,
-            capacity, interpret)
+            capacity, interpret, precise_sort)
         loss, l1 = loss_terms(out, gt_image, gt_mask, midas_depth,
                               fg_box_mask, opt, is_ref)
         aux = (out, dec, splats, binning, l1, feat)
