@@ -322,6 +322,7 @@ def _bwd_kernel(grid_x, tile_start, tile_count, tile_off, inst_hbm,
 
     basis = _pixel_basis()
     ltri = _lower_tri()
+    log_stop = np.float32(np.log(T_STOP))
 
     carry[...] = jnp.zeros((1, PIX), jnp.float32)
     prefr[...] = jnp.zeros((1, PIX), jnp.float32)
@@ -430,16 +431,41 @@ def _bwd_kernel(grid_x, tile_start, tile_count, tile_off, inst_hbm,
 
         prefr[...] = prefr[...] + jnp.sum(m, axis=0, keepdims=True)
         carry[...] = carry[...] + jnp.sum(logs, axis=0, keepdims=True)
-        return 0
+        # alive while any pixel could still apply another gaussian — the
+        # same early stop as the forward; later instances get zero grads
+        return jnp.max(carry[0:1, :]) >= log_stop
 
-    jax.lax.fori_loop(0, nchunks, body, 0)
-    # drain outstanding grad writes
-    @pl.when(nchunks >= 2)
+    def cond(state):
+        k, alive = state
+        return jnp.logical_and(k < nchunks, alive)
+
+    def wbody(state):
+        k, _ = state
+        return (k + 1, body(k, None))
+
+    kf, _ = jax.lax.while_loop(cond, wbody, (jnp.int32(0), jnp.bool_(True)))
+    # drain outstanding grad writes from the compute phase
+    @pl.when(kf >= 2)
     def _():
-        get_gdma(jax.lax.rem(nchunks - 2, 2), nchunks - 2).wait()
-    @pl.when(nchunks >= 1)
+        get_gdma(jax.lax.rem(kf - 2, 2), kf - 2).wait()
+    @pl.when(kf >= 1)
     def _():
-        get_gdma(jax.lax.rem(nchunks - 1, 2), nchunks - 1).wait()
+        get_gdma(jax.lax.rem(kf - 1, 2), kf - 1).wait()
+    # drain an orphaned input prefetch from the early exit
+    @pl.when(kf < nchunks)
+    def _():
+        get_dma(jax.lax.rem(kf, 2), kf).wait()
+    # chunks skipped by the early exit still own output slots — their
+    # gradients are exactly zero, written without compute
+    @pl.when(kf < nchunks)
+    def _():
+        gbuf[0] = jnp.zeros((CHUNK, INST_W), jnp.float32)
+        def zbody(k, _):
+            d = get_gdma(0, k)
+            d.start()
+            d.wait()
+            return 0
+        jax.lax.fori_loop(kf, nchunks, zbody, 0)
 
 
 def _run_backward(inst_data, pix_tiles, tile_start, tile_count,

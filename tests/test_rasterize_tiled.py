@@ -126,3 +126,35 @@ def test_binning_overflow_reported(rng):
     binning = bin_instances(splats, 64, cam.width, cam.height,
                             TILE_W, TILE_H)
     assert int(binning.num_instances) > 64  # overflow detected, not silent
+
+
+def test_backward_matches_oracle_saturating(rng):
+    """Gradient parity through the early-stop path (opaque stack)."""
+    cam, splats, colors, opac, unc, _ = _setup(
+        rng, n=400, width=64, height=64, xy_extent=0.5,
+        scale_range=(0.1, 0.5))
+    opac = jnp.full_like(opac, 0.97)
+    bg = jnp.array([0.2, 0.4, 0.6])
+    binning = bin_instances(splats, 16384, cam.width, cam.height,
+                            TILE_W, TILE_H)
+
+    def loss_t(mean2d, conic, opac, colors, depth, unc):
+        out = rasterize_tiled(mean2d, conic, opac, colors, depth, unc,
+                              binning, bg, cam.width, cam.height, True)
+        return jnp.sum(jnp.abs(out.color)) + 0.2 * jnp.sum(out.depth)
+
+    def loss_o(mean2d, conic, opac, colors, depth, unc):
+        s = splats._replace(mean2d=mean2d, conic=conic, depth=depth)
+        out = rasterize_scan(s, colors, opac, unc, bg, cam.width,
+                             cam.height, tile_w=TILE_W, tile_h=TILE_H)
+        return jnp.sum(jnp.abs(out.color)) + 0.2 * jnp.sum(out.depth)
+
+    args = (splats.mean2d, splats.conic, opac, colors, splats.depth, unc)
+    gt = jax.grad(loss_t, argnums=(0, 1, 2, 3, 4, 5))(*args)
+    go = jax.grad(loss_o, argnums=(0, 1, 2, 3, 4, 5))(*args)
+    for name, a, b in zip(["mean2d", "conic", "op", "col", "dep", "unc"],
+                          gt, go):
+        a, b = np.asarray(a), np.asarray(b)
+        scale = max(np.abs(b).max(), 1e-3)
+        np.testing.assert_allclose(a, b, atol=3e-4 * scale, rtol=3e-3,
+                                   err_msg=name)
