@@ -561,10 +561,19 @@ def segment_reduce_grads(grads_sorted, binning: Binning, n_gauss: int,
     128-lane row, then run the indicator-matmul reduction kernel.
     """
     cap = binning.emit_slot.shape[0]
-    iota = jnp.arange(cap, dtype=jnp.int32)
-    _, inv = jax.lax.sort((binning.emit_slot, iota), num_keys=1,
-                          is_stable=True)          # inv[e] = sorted pos
-    ge = grads_sorted[:, :16][inv]                 # (cap,16) emission order
+    if os.environ.get("GSCREAM_REORDER_GATHER"):
+        # row-gather variant (random access; ~46 ms at 2M rows)
+        iota = jnp.arange(cap, dtype=jnp.int32)
+        _, inv = jax.lax.sort((binning.emit_slot, iota), num_keys=1,
+                              is_stable=True)      # inv[e] = sorted pos
+        ge = grads_sorted[:, :16][inv]             # (cap,16) emission order
+    else:
+        # carry the grad columns through one multi-operand sort — TPU
+        # sorts stream sequentially where gathers pay random access
+        cols = tuple(grads_sorted[:, i] for i in range(16))
+        out = jax.lax.sort((binning.emit_slot,) + cols, num_keys=1,
+                           is_stable=True)
+        ge = jnp.stack(out[1:], axis=1)            # (cap,16)
     rows = cap // 8
     packed = ge.reshape(rows, 128)
     packed = jnp.concatenate(
