@@ -143,9 +143,11 @@ def _band_bwd(width, height, n_bands, interpret, res, g: TiledOut):
     valid = (binning.tile_id < n_tiles_real) & (slot_band == band)
     grads = jnp.where(valid[:, None], grads, 0.0)
 
-    gid = binning.gauss_id
-    per_gauss = jax.ops.segment_sum(grads[:, :11], gid,
-                                    num_segments=n_gauss)
+    # band-masked rows reduce to zero, so the Pallas segment reducer is
+    # directly applicable per band (partials psum'd by the shard_map
+    # transpose)
+    per_gauss = rt.segment_reduce_grads(grads, binning, n_gauss,
+                                        interpret)[:, :11]
     d_mean2d = per_gauss[:, 0:2]
     d_conic = per_gauss[:, 2:5]
     d_op = per_gauss[:, 5]
