@@ -74,8 +74,8 @@ class OptimConfig:
     mlp_color_lr_final: float = 0.00005
     mlp_color_lr_delay_mult: float = 0.01
     mlp_color_lr_max_steps: int = 30_000
-    crossattn_lr_init: float = 0.01
-    crossattn_lr_final: float = 0.00001
+    crossattn_lr_init: float = 0.002     # run.py: --crossattn_lr_init 0.002
+    crossattn_lr_final: float = 0.00002  # run.py: --crossattn_lr_final 2e-5
     crossattn_lr_delay_mult: float = 0.01
     crossattn_lr_max_steps: int = 30_000
     lambda_dssim: float = 0.2
@@ -87,16 +87,20 @@ class OptimConfig:
     min_opacity: float = 0.005
     success_threshold: float = 0.8
     densify_grad_threshold: float = 0.0002
-    # loss weights (run.py:40-75)
+    # loss weights — defaults are the PAPER RUN values from the reference
+    # driver (scripts/run.py:47-57), not the argparse defaults of
+    # arguments/__init__.py (which the reference always overrides): the
+    # fg-emphasis terms (rgb 20×, depth 100×) are the core of the removal
+    # objective and the other-view depth terms run at 0.1.
     refer_rgb_lr: float = 1.0
-    refer_rgb_lr_fg: float = 1.0
+    refer_rgb_lr_fg: float = 20.0
     other_rgb_lr: float = 1.0
     other_rgb_lr_fg: float = 0.0
     refer_depth_lr: float = 1.0
-    refer_depth_lr_fg: float = 1.0
+    refer_depth_lr_fg: float = 100.0
     refer_depth_lr_smooth: float = 1.0
-    other_depth_lr: float = 1.0
-    other_depth_lr_smooth: float = 1.0
+    other_depth_lr: float = 0.1
+    other_depth_lr_smooth: float = 0.1
     # cross-attention (run.py:62-79)
     enable_crossattn_refview: float = 1.0
     enable_crossattn_otherview: float = 1.0

@@ -76,26 +76,22 @@ def accumulate_stats(stats: DensifyStats, neural_opacity, screen_grad,
                           offset_denom=offset_denom)
 
 
-def _pack_voxel_keys(coords):
-    """(N,3) int32 voxel coords → two lexicographic int32 keys.
+def _voxel_keys(coords):
+    """(N,3) int32 voxel coords → three exact lexicographic int32 keys.
 
-    Coordinates are clipped to ±2²⁰ (far beyond any scene extent at the
-    coarsest growth level); k1 = x, k2 = y·2²¹ + z keeps (y,z) exact within
-    ±2²⁰ in an int64-free packing... int32 can hold ±2³¹; with |y|,|z| ≤
-    2¹⁴ we pack exactly.  Coordinates beyond that are clamped (and
-    identical clamps compare equal — conservative dedup).
+    The reference dedups on exact integer voxel coords with no range
+    limit (gaussian_model.py:834-859); three full-width keys keep that
+    exactness at any scene extent (no packing, no clamp — |coord| can use
+    the whole int32 range short of the 2³⁰ non-candidate sentinel).
     """
-    c = jnp.clip(coords, -16000, 16000)
-    k1 = c[:, 0]
-    k2 = c[:, 1] * 32768 + c[:, 2]
-    return k1, k2
+    return coords[:, 0], coords[:, 1], coords[:, 2]
 
 
-def _lex_sort(k1, k2):
-    """Stable lexicographic order by (k1, k2): returns the permutation."""
-    o1 = jnp.argsort(k2, stable=True)
-    o2 = jnp.argsort(k1[o1], stable=True)
-    return o1[o2]
+def _lex_sort(k1, k2, k3):
+    """Stable lexicographic order by (k1, k2, k3): returns the permutation."""
+    o = jnp.argsort(k3, stable=True)
+    o = o[jnp.argsort(k2[o], stable=True)]
+    return o[jnp.argsort(k1[o], stable=True)]
 
 
 @partial(jax.jit, static_argnames=("cfg",))
@@ -146,15 +142,16 @@ def adjust_anchors(state: ScaffoldState, stats: DensifyStats, opt_moments,
         cand = cand & rand_keep
 
         coords = jnp.round(cand_xyz / cur_size).astype(jnp.int32)
-        k1, k2 = _pack_voxel_keys(coords)
+        k1, k2, k3 = _voxel_keys(coords)
         # push non-candidates to the end of the sort with a sentinel key
         k1 = jnp.where(cand, k1, jnp.int32(2 ** 30))
-        order = _lex_sort(k1, k2)
-        k1s, k2s = k1[order], k2[order]
+        order = _lex_sort(k1, k2, k3)
+        k1s, k2s, k3s = k1[order], k2[order], k3[order]
         idx_s, feat_s = order, feat_rep[order]
         same_as_prev = jnp.concatenate([
             jnp.array([False]),
-            (k1s[1:] == k1s[:-1]) & (k2s[1:] == k2s[:-1])])
+            (k1s[1:] == k1s[:-1]) & (k2s[1:] == k2s[:-1])
+            & (k3s[1:] == k3s[:-1])])
         is_cand = k1s < 2 ** 30
         first = is_cand & ~same_as_prev
         # feature per unique voxel: max over the group (scatter_max,
@@ -170,21 +167,24 @@ def adjust_anchors(state: ScaffoldState, stats: DensifyStats, opt_moments,
         # dedup against existing (alive) anchors on the same grid — exact
         # lexicographic binary search over sorted (k1,k2) pairs
         ex_coords = jnp.round(new_params.anchor / cur_size).astype(jnp.int32)
-        e1, e2 = _pack_voxel_keys(ex_coords)
+        e1, e2, e3 = _voxel_keys(ex_coords)
         e1 = jnp.where(alive, e1, jnp.int32(2 ** 30))
-        eorder = _lex_sort(e1, e2)
-        e1s, e2s = e1[eorder], e2[eorder]
+        eorder = _lex_sort(e1, e2, e3)
+        e1s, e2s, e3s = e1[eorder], e2[eorder], e3[eorder]
         lo = jnp.zeros((CK,), jnp.int32)
         hi = jnp.full((CK,), C, jnp.int32)
         for _ in range(C.bit_length()):
             mid = (lo + hi) // 2
             midc = jnp.clip(mid, 0, C - 1)
             less = ((e1s[midc] < k1s)
-                    | ((e1s[midc] == k1s) & (e2s[midc] < k2s)))
+                    | ((e1s[midc] == k1s) & (e2s[midc] < k2s))
+                    | ((e1s[midc] == k1s) & (e2s[midc] == k2s)
+                       & (e3s[midc] < k3s)))
             lo = jnp.where(less, mid + 1, lo)
             hi = jnp.where(less, hi, mid)
         loc = jnp.clip(lo, 0, C - 1)
-        dup = (lo < C) & (e1s[loc] == k1s) & (e2s[loc] == k2s)
+        dup = ((lo < C) & (e1s[loc] == k1s) & (e2s[loc] == k2s)
+               & (e3s[loc] == k3s))
         survivor = first & ~dup
 
         # compact survivors into free slots (extra dummy slot absorbs

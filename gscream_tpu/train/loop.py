@@ -180,17 +180,28 @@ def train_scene(views, ref_index: int, points: np.ndarray, run: RunConfig,
     order: List[int] = []
     zero_box = jnp.zeros(4, jnp.int32)
     t_start = time.time()
-    cur_capacity = capacity
-    for it in range(1, iters + 1):
+    cap_state = {"cap": capacity}
+    phase2_any = (opt.enable_crossattn_refview > 0
+                  or opt.enable_crossattn_otherview > 0)
+
+    def prepare(it: int) -> Dict:
+        """Host-side sampling for one iteration (stored so an overflow
+        rollback re-runs the step with identical inputs)."""
+        nonlocal order
         if not order:
             order = list(rng.permutation(len(dev_views)))
         vi = order.pop()
         v = dev_views[vi]
+        # per-view cross-attn gating: the reference enables ref/other
+        # views independently (train.py:445-447)
         use_cross = (it > opt.start_crossattn_from
-                     and (opt.enable_crossattn_refview > 0
-                          or opt.enable_crossattn_otherview > 0))
+                     and (opt.enable_crossattn_refview > 0 if v["is_ref"]
+                          else opt.enable_crossattn_otherview > 0))
+        # after the first run_crossattn the reference's _anchor_feat is
+        # permanently detached (gaussian_model.py:556) — main Adam stops
+        # updating feat for the rest of training on every view
+        feat_frozen = it > opt.start_crossattn_from and phase2_any
         accumulate = opt.start_stat < it < opt.update_until
-
         if v["is_ref"]:
             fg_box = jnp.asarray(random_box_mask(
                 rng, v["mask_np"], 1.5, 0.8, h, w))
@@ -202,44 +213,98 @@ def train_scene(views, ref_index: int, points: np.ndarray, run: RunConfig,
             cross_box = jnp.asarray(np.array(box, np.int32))
         else:
             cross_box = zero_box
+        return dict(it=it, vi=vi, fg_box=fg_box, cross_box=cross_box,
+                    use_cross=use_cross, feat_frozen=feat_frozen,
+                    accumulate=accumulate)
 
+    def launch(rec: Dict, ts_in: TrainState) -> Dict:
+        v = dev_views[rec["vi"]]
         t0 = time.time()
-        ts, aux = train_step(
-            ts, v["camera"], v["image"], v["mask"], v["depth"], fg_box,
-            cross_box, cfg=cfg, opt=opt, is_ref=v["is_ref"],
-            use_crossattn=use_cross, capacity=cur_capacity,
-            interpret=interpret, width=w, height=h,
-            accumulate=accumulate,
+        ts_new, aux = train_step(
+            ts_in, v["camera"], v["image"], v["mask"], v["depth"],
+            rec["fg_box"], rec["cross_box"], cfg=cfg, opt=opt,
+            is_ref=v["is_ref"], use_crossattn=rec["use_cross"],
+            capacity=cap_state["cap"], interpret=interpret, width=w,
+            height=h, accumulate=rec["accumulate"],
             white_bg=m.white_background,
-            spatial_lr_scale=spatial_lr_scale)
-        log.iter_times.append(time.time() - t0)
+            spatial_lr_scale=spatial_lr_scale,
+            feat_frozen=rec["feat_frozen"])
+        rec["ts_prev"], rec["ts_new"], rec["aux"] = ts_in, ts_new, aux
+        rec["dispatch_s"] = time.time() - t0
+        return rec
 
-        # lazy host sync: pulling scalars every iteration serializes the
-        # device pipeline (the reference pays the same for its tqdm);
-        # sync on the logging cadence and on densification boundaries
-        sync_now = (it % 10 == 0 or it == iters
-                    or (opt.update_from < it <= opt.update_until
-                        and it % opt.update_interval == 0))
-        loss = float(aux.loss) if sync_now else float("nan")
-        if sync_now:
-            log.losses.append(loss)
-
-        n_inst = int(aux.num_instances) if sync_now else 0
-        if n_inst > cur_capacity:
-            # capacity-tier retry: next steps recompile at the next tier
-            # so no instances are dropped (SURVEY §7 hard part 2)
-            new_cap = cur_capacity
+    def resolve(rec: Dict) -> Dict:
+        """Exact overflow semantics (SURVEY §7 hard part 2, matching the
+        reference's resize-and-rerun contract, rasterize_points.cu:27-33):
+        the instance count of EVERY step is checked; a step that overflowed
+        its capacity tier is re-run from its pre-step state at the raised
+        tier before its update is accepted, so no step ever trains on a
+        truncated instance list."""
+        n_inst = int(rec["aux"].num_instances)
+        while n_inst > cap_state["cap"]:
+            new_cap = cap_state["cap"]
             while n_inst > new_cap:
                 new_cap *= 2
             logger.warning(
-                "iter %d: instance overflow %d > %d — raising capacity "
-                "tier to %d (recompiles once)", it, n_inst, cur_capacity,
-                new_cap)
-            cur_capacity = new_cap
+                "iter %d: instance overflow %d > %d — re-running this "
+                "step at capacity tier %d (recompiles once)",
+                rec["it"], n_inst, cap_state["cap"], new_cap)
+            cap_state["cap"] = new_cap
+            rec = launch(rec, rec["ts_prev"])
+            n_inst = int(rec["aux"].num_instances)
+        rec["n_inst"] = n_inst
+        return rec
 
-        # densification (train.py:599-606)
-        if opt.update_from < it <= opt.update_until \
-                and it % opt.update_interval == 0:
+    def commit(rec: Dict) -> TrainState:
+        it, aux = rec["it"], rec["aux"]
+        # scalars here come from an already-finished step (the fetch is
+        # one iteration behind the launch) — real losses are logged every
+        # iteration without stalling the device pipeline
+        loss = float(aux.loss)
+        log.losses.append(loss)
+        log.iter_times.append(rec["dispatch_s"])
+        ts_new = rec["ts_new"]
+        if it % 100 == 0 or it == iters:
+            anchors = int(n_alive(ts_new.scaffold))
+            logger.info(
+                "iter %d/%d loss %.5f anchors %d instances %d "
+                "(%.1f it/s)", it, iters, loss, anchors, rec["n_inst"],
+                it / max(time.time() - t_start, 1e-9))
+            mlog.log(it, {"loss": loss, "l1": float(aux.l1),
+                          "iter_time": rec["dispatch_s"],
+                          "total_points": anchors,
+                          "instances": rec["n_inst"]})
+        if callback is not None:
+            callback(it, ts_new, aux)
+        return ts_new
+
+    pending: Optional[Dict] = None
+    for it in range(1, iters + 1):
+        rec = prepare(it)
+        tip = pending["ts_new"] if pending is not None else ts
+        rec = launch(rec, tip)
+        if pending is not None:
+            old_tip = pending["ts_new"]
+            pending = resolve(pending)
+            ts = commit(pending)
+            if pending["ts_new"] is not old_tip:
+                # the pending step was re-run at a higher tier — the
+                # just-launched step consumed a discarded state
+                rec = launch(rec, ts)
+            pending = None
+        pending = rec
+
+        # densification boundary (train.py:599-606; strictly below
+        # update_until — the reference nests adjust_anchor under
+        # ``iteration < opt.update_until``): drain the pipeline so the
+        # grow/prune transform sees the committed state
+        densify_now = (opt.update_from < it < opt.update_until
+                       and it % opt.update_interval == 0)
+        if densify_now or it == iters:
+            pending = resolve(pending)
+            ts = commit(pending)
+            pending = None
+        if densify_now:
             key = jax.random.fold_in(jax.random.PRNGKey(run.seed + 2), it)
             moments = (ts.m[0], ts.v[0])
             sc, stats, (m0, v0) = adjust_anchors(
@@ -250,18 +315,5 @@ def train_scene(views, ref_index: int, points: np.ndarray, run: RunConfig,
                 min_opacity=opt.min_opacity)
             ts = ts._replace(scaffold=sc, stats=stats,
                              m=(m0, ts.m[1]), v=(v0, ts.v[1]))
-
-        if it % 100 == 0 or it == iters:
-            anchors = int(n_alive(ts.scaffold))
-            logger.info(
-                "iter %d/%d loss %.5f anchors %d instances %d "
-                "(%.1f it/s)", it, iters, loss, anchors, n_inst,
-                it / max(time.time() - t_start, 1e-9))
-            mlog.log(it, {"loss": loss, "l1": float(aux.l1),
-                          "iter_time": log.iter_times[-1],
-                          "total_points": anchors,
-                          "instances": n_inst})
-        if callback is not None:
-            callback(it, ts, aux)
     mlog.close()
     return ts, log

@@ -40,8 +40,6 @@ from ..ops.rasterize_tiled import TILE_H, TILE_W, rasterize_tiled
 from ..ops.ssim import ssim, ssim_masked
 from .state import TrainState, apply_adam, broadcast_group, lr_tree
 
-CROSS_TOKENS = 2048   # static token capacity ≥ the reference's 2000 cap
-
 
 class StepAux(NamedTuple):
     loss: jnp.ndarray
@@ -174,14 +172,15 @@ def loss_terms(out, gt_image, gt_mask, midas_depth, fg_box_mask,
     jax.jit,
     static_argnames=("cfg", "opt", "is_ref", "use_crossattn", "capacity",
                      "interpret", "width", "height", "accumulate",
-                     "white_bg", "spatial_lr_scale", "precise_sort"))
+                     "white_bg", "spatial_lr_scale", "precise_sort",
+                     "feat_frozen"))
 def train_step(ts: TrainState, camera: Camera, gt_image, gt_mask,
                midas_depth, fg_box_mask, cross_box,
                *, cfg: ScaffoldConfig, opt: OptimConfig, is_ref: bool,
                use_crossattn: bool, capacity: int, interpret: bool,
                width: int, height: int, accumulate: bool,
                white_bg: bool = False, spatial_lr_scale: float = 1.0,
-               precise_sort: bool = True):
+               precise_sort: bool = True, feat_frozen: bool = False):
     """One optimization iteration.  Returns (new_state, StepAux).
 
     gt_image (3,H,W) · gt_mask (1,H,W) · midas_depth (1,H,W) ·
@@ -215,7 +214,7 @@ def train_step(ts: TrainState, camera: Camera, gt_image, gt_mask,
         fg_idx, bg_idx, fg_valid, bg_valid, cross_ok = sample_cross_tokens(
             k_cross, pre.mean2d[:, 0], pre.mean2d[:, 1],
             pre.radius > 0, scaffold.alive, gt_mask[0], cross_box,
-            width, height, min(CROSS_TOKENS, C))
+            width, height, min(opt.crossattn_max_tokens, C))
 
     def loss_fn(anchor_params, mlps, screen_zero):
         feat = anchor_params.feat
@@ -254,15 +253,27 @@ def train_step(ts: TrainState, camera: Camera, gt_image, gt_mask,
                broadcast_group(mlp_lrs, scaffold.mlps))
 
     from ..model.scaffold import AnchorParams
-    feat_owned_by_attn = (jnp.logical_and(jnp.bool_(True), cross_ok)
-                          if use_crossattn else False)
-    anchor_mask = AnchorParams(
-        anchor=True, offset=True,
-        feat=(jnp.logical_not(feat_owned_by_attn)
-              if use_crossattn else True),
-        scaling=True, rotation=False, opacity=False, uncertainty=False)
-    mlp_mask = MLPParams(opacity=True, uncertainty=True, cov=True,
-                         color=True, crossattn=False)
+    # Phase-2 iteration gating: when token sampling degenerates
+    # (cross_ok=False) the reference skips the ENTIRE iteration
+    # (train.py:519-523 ``except: continue``) — so every parameter (and
+    # its Adam moments) is masked on cross_ok, not only anchor_feat.
+    # ``feat_frozen`` reproduces the reference's permanent detach: the
+    # first run_crossattn call replaces ``_anchor_feat`` with a detached
+    # tensor (gaussian_model.py:556), after which the main Adam never
+    # updates feat again — on ANY view, cross-attended or not.
+    if use_crossattn:
+        anchor_mask = AnchorParams(
+            anchor=cross_ok, offset=cross_ok, feat=False,
+            scaling=cross_ok, rotation=False, opacity=False,
+            uncertainty=False)
+        mlp_mask = MLPParams(opacity=cross_ok, uncertainty=cross_ok,
+                             cov=cross_ok, color=cross_ok, crossattn=False)
+    else:
+        anchor_mask = AnchorParams(
+            anchor=True, offset=True, feat=not feat_frozen,
+            scaling=True, rotation=False, opacity=False, uncertainty=False)
+        mlp_mask = MLPParams(opacity=True, uncertainty=True, cov=True,
+                             color=True, crossattn=False)
     mask_full = (broadcast_group(anchor_mask, scaffold.params),
                  broadcast_group(mlp_mask, scaffold.mlps))
 

@@ -39,6 +39,15 @@ def parse_args():
     p.add_argument("--n_offsets", type=int, default=10)
     p.add_argument("--start_crossattn_from", type=int, default=15000)
     p.add_argument("--crossattn_feat_update_ema", type=float, default=0.03)
+    # loss weights (reference scripts/run.py:47-57 paper values)
+    from gscream_tpu.config import OptimConfig as d
+    for name in ("refer_rgb_lr", "refer_rgb_lr_fg", "other_rgb_lr",
+                 "other_rgb_lr_fg", "refer_depth_lr", "refer_depth_lr_fg",
+                 "refer_depth_lr_smooth", "other_depth_lr",
+                 "other_depth_lr_smooth", "crossattn_lr_init",
+                 "crossattn_lr_final", "enable_crossattn_refview",
+                 "enable_crossattn_otherview"):
+        p.add_argument(f"--{name}", type=float, default=getattr(d, name))
     p.add_argument("--anchor_capacity", type=int, default=1 << 17)
     p.add_argument("--instance_capacity", type=int, default=1 << 20)
     p.add_argument("--seed", type=int, default=0)
@@ -86,7 +95,20 @@ def main():
         optim=OptimConfig(
             iterations=args.iterations,
             start_crossattn_from=args.start_crossattn_from,
-            crossattn_feat_update_ema=args.crossattn_feat_update_ema),
+            crossattn_feat_update_ema=args.crossattn_feat_update_ema,
+            refer_rgb_lr=args.refer_rgb_lr,
+            refer_rgb_lr_fg=args.refer_rgb_lr_fg,
+            other_rgb_lr=args.other_rgb_lr,
+            other_rgb_lr_fg=args.other_rgb_lr_fg,
+            refer_depth_lr=args.refer_depth_lr,
+            refer_depth_lr_fg=args.refer_depth_lr_fg,
+            refer_depth_lr_smooth=args.refer_depth_lr_smooth,
+            other_depth_lr=args.other_depth_lr,
+            other_depth_lr_smooth=args.other_depth_lr_smooth,
+            crossattn_lr_init=args.crossattn_lr_init,
+            crossattn_lr_final=args.crossattn_lr_final,
+            enable_crossattn_refview=args.enable_crossattn_refview,
+            enable_crossattn_otherview=args.enable_crossattn_otherview),
         seed=args.seed)
     os.makedirs(args.model_path, exist_ok=True)
     save_config(run, os.path.join(args.model_path, "cfg.json"))
@@ -143,8 +165,9 @@ def main():
         cam0 = test_views[0].camera
         rf = make_render_fn(ts.scaffold, cfg_l, cam0.width, cam0.height,
                             args.instance_capacity)
+        # full split, like the reference's training_report (train.py:655-695)
         vals = []
-        for v in test_views[:4]:
+        for v in test_views:
             if v.image is None:
                 continue
             out, _ = rf(ts.scaffold.params, ts.scaffold.mlps, v.camera)
