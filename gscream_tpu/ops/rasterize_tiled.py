@@ -2,15 +2,20 @@
 
 TPU-native replacement for the reference CUDA tile renderer
 (``cuda_rasterizer/forward.cu:441-568`` and ``backward.cu:409-604``), built
-around three ideas that map the splatting math onto TPU hardware:
+around four ideas that map the splatting math onto TPU hardware:
 
 1. **Quadratic-basis MXU evaluation.**  For every (instance, pixel) pair the
    gaussian exponent is a degree-2 polynomial in the pixel coordinates, so a
    whole chunk of G instances × P pixels of ``power`` values is one
-   ``(G,8) @ (8,P)`` matmul against the constant pixel basis
+   ``(G,16) @ (16,P)`` matmul against the constant pixel basis
    ``[1, x, y, x², xy, y²]`` — the MXU computes what CUDA evaluates with
-   per-thread scalar math.  Tile-local coordinates keep the basis terms
-   small so fp32 precision holds.
+   per-thread scalar math.  The six per-instance polynomial coefficients are
+   precomputed *outside* the kernel (in tile-local coordinates, so fp32
+   precision holds): the kernel does zero per-instance preprocessing and
+   uses only the first 16 lanes of each 128-lane instance row (Mosaic
+   requires 128-lane-aligned HBM rows for the chunk DMA; a denser 8
+   instances/row packing needs tile ranges 8-aligned in the sort — a
+   possible future bandwidth optimization).
 
 2. **Prefix-scan transmittance.**  The sequential front-to-back blend
    ``T ← T·(1-α)`` becomes a cumulative sum of ``log1p(-α)`` along the
@@ -19,9 +24,20 @@ around three ideas that map the splatting math onto TPU hardware:
    ``rasterize_ref.py`` for the proof that this reproduces the reference's
    early-stop (``T < 1e-4``) semantics exactly.
 
-3. **Deterministic gradient scatter.**  The backward kernel writes
-   per-*instance* gradients to disjoint slots (each instance belongs to one
-   tile), then a ``segment_sum`` over source gaussian ids replaces CUDA's
+3. **Raw-moment backward.**  Instead of materializing the per-instance
+   gradient chain in-kernel (backward.cu:488-604 does ~40 scalar ops per
+   instance), the backward kernel emits only MXU products: the 0th–2nd
+   pixel-basis moments of ``X = ∂L/∂α · G`` and the per-channel weight sums.
+   The (nonlinear, per-instance) map from moments to mean2d/conic/opacity
+   gradients is translation-covariant, so it is applied *after* the
+   per-gaussian segment reduction on N-sized arrays — the per-instance
+   moments are first shifted into each gaussian's own centered frame
+   (``sx, sy`` lanes), which keeps the fp32 cancellation behavior of
+   tile-local coordinates.
+
+4. **Deterministic gradient scatter.**  The backward kernel writes
+   per-*instance* moments to disjoint slots (each instance belongs to one
+   tile), then a segment reduction over source gaussian ids replaces CUDA's
    nondeterministic ``atomicAdd`` (backward.cu:554-601) — SURVEY.md §5
    "race detection" note.
 
@@ -33,6 +49,13 @@ back-to-front (``accum_rec``) are obtained from the identity
 
 with ``Total = (C − T·bg)·gC + D·gD + U·gU`` available from saved forward
 outputs, so the backward also runs front-to-back in one pass.
+
+Instance lane layout (lanes 0..15 of a 128-lane row):
+    0: opacity   1-5: r,g,b,depth,unc   6-11: k0..k5 (power coefficients,
+    tile-local)   12: sx = origin_x − round(mean_x)   13: sy   14,15: 0
+Backward output lane layout (lanes 0..15 of a 128-lane row):
+    1-5: channel grads (w-weighted sums)   6-11: moments of X against the
+    tile-local basis [1, x, y, x², xy, y²]   0,12-15: 0
 """
 from __future__ import annotations
 
@@ -56,9 +79,9 @@ TILE_W = 32           # pixels per tile, x — tile pixel count must be 1024
 TILE_H = 32           # pixels per tile, y   (= one (8,128) f32 vreg block)
 PIX = TILE_W * TILE_H
 CHUNK = 256           # instances processed per inner step
-INST_W = 128          # floats per instance row (lane-aligned; 11 used)
 LANES = 128
-SUBLANES = PIX // LANES
+ILANES = 16           # used floats per instance row (input + grad output)
+PAD_SLOTS = CHUNK     # slack rows absorbing the last chunk's tail overrun
 
 _HIGHEST = jax.lax.Precision.HIGHEST
 
@@ -79,24 +102,43 @@ class TiledOut(NamedTuple):
 # ---------------------------------------------------------------------------
 # packing helpers (pure JAX)
 
-def pack_instance_data(splats_mean2d, conic, opacity, colors, depth, unc,
+def pack_instance_data(mean2d, conic, opacity, colors, depth, unc,
                        binning: Binning, grid_x: int):
-    """Gather per-gaussian attributes into sorted instance order.
+    """Per-gaussian attributes → packed per-instance rows in sorted order.
 
-    Layout (capacity, 128) float32 — one 512-byte row per instance, first
-    11 lanes used: [mx, my, ca, cb, cc, op, r, g, b, depth, unc, 0...].
-    The row width matches the TPU lane tiling (Mosaic requires 128-aligned
-    HBM slices for the chunk DMA) and makes the per-instance gather a
-    single aligned row copy.  mx/my stay in *global* pixel coordinates —
-    the kernel subtracts its own tile origin (it knows its tile index)
-    so no per-instance fix-up pass is needed here.
+    One (N,11) row-gather (TPU gathers pay per-row overhead — scalar
+    gathers of the same element count are ~20× slower, profiled), then the
+    tile-local power polynomial ``power(x,y) = k0 + k1·x + k2·y + k3·x² +
+    k4·xy + k5·y²`` is precomputed per instance, so the kernels do no
+    per-instance math at all.  Rows are 128 lanes (Mosaic DMA alignment),
+    lanes 0..15 used.
     """
     attrs = jnp.concatenate([
-        splats_mean2d, conic, opacity[:, None], colors,
-        depth[:, None], unc[:, None],
+        opacity[:, None], colors, depth[:, None], unc[:, None],
+        mean2d, conic,
     ], axis=1)                                     # (N, 11)
-    attrs = jnp.pad(attrs, ((0, 0), (0, INST_W - attrs.shape[1])))
-    return attrs[binning.gauss_id]                 # one row-gather
+    a = attrs[binning.gauss_id]                    # (cap, 11) row gather
+    tile = binning.tile_id
+    ox = ((tile % grid_x) * TILE_W).astype(jnp.float32)
+    oy = ((tile // grid_x) * TILE_H).astype(jnp.float32)
+    mxl = a[:, 6] - ox
+    myl = a[:, 7] - oy
+    ca, cb, cc = a[:, 8], a[:, 9], a[:, 10]
+    k0 = -0.5 * (ca * mxl * mxl + cc * myl * myl) - cb * mxl * myl
+    k1 = ca * mxl + cb * myl
+    k2 = cc * myl + cb * mxl
+    # sx/sy shift the backward's tile-local moments into the gaussian's own
+    # rounded-center frame (see convert_instance_grads) — stays O(radius),
+    # so no fp32 catastrophic cancellation at any image size
+    sx = ox - jnp.round(a[:, 6])
+    sy = oy - jnp.round(a[:, 7])
+    zero = jnp.zeros_like(k0)
+    data16 = jnp.stack([
+        a[:, 0], a[:, 1], a[:, 2], a[:, 3], a[:, 4], a[:, 5],
+        k0, k1, k2, -0.5 * ca, -cb, -0.5 * cc, sx, sy, zero, zero,
+    ], axis=1)                                     # (cap, 16)
+    data16 = jnp.pad(data16, ((0, PAD_SLOTS), (0, LANES - ILANES)))
+    return data16                                  # (cap+pad, 128)
 
 
 def tiles_to_image(tiles: jnp.ndarray, width: int, height: int):
@@ -123,16 +165,18 @@ def image_to_tiles(img: jnp.ndarray, width: int, height: int):
 # ---------------------------------------------------------------------------
 # in-kernel shared math
 
-def _pixel_basis():
-    """(8, PIX) constant basis rows [1, x, y, x², xy, y², 0, 0] in
-    tile-local pixel coordinates (flat index p → (y,x) = divmod(p, TILE_W))."""
+def _pixel_basis16():
+    """(16, PIX) constant basis: rows 6..11 = [1, x, y, x², xy, y²] in
+    tile-local pixel coordinates (flat p → (y,x) = divmod(p, TILE_W)),
+    aligned with the k0..k5 instance lanes; all other rows zero."""
     flat = jax.lax.broadcasted_iota(jnp.int32, (1, PIX), 1)
     x = (flat % TILE_W).astype(jnp.float32)
     y = (flat // TILE_W).astype(jnp.float32)
     one = jnp.ones_like(x)
-    zero = jnp.zeros_like(x)
+    z = jnp.zeros_like(x)
     return jnp.concatenate(
-        [one, x, y, x * x, x * y, y * y, zero, zero], axis=0)  # (8, PIX)
+        [z, z, z, z, z, z, one, x, y, x * x, x * y, y * y, z, z, z, z],
+        axis=0)                                    # (16, PIX)
 
 
 CUM_GROUP = 32        # sub-group size of the two-level prefix scan
@@ -145,41 +189,26 @@ def _lower_tri():
     return (j <= i).astype(jnp.float32)
 
 
-def _chunk_alpha(buf, basis, slot_valid, origin_x, origin_y):
+def _chunk_blend(data, basis, slot_valid):
     """Shared forward math for one chunk.
 
-    buf: (CHUNK,INST_W) instance attributes (global-pixel mean2d); basis:
-    (8,PIX); slot_valid: (CHUNK,1) bool; origin_x/y: this tile's pixel
-    origin (scalars).  Returns (alpha, valid, logs, G=exp(power)) each
-    (CHUNK,PIX) — alpha clamped to 0.99, valid includes the power/255
-    tests, logs = log1p(-alpha·valid).
+    data: (CHUNK,16) packed instance rows; basis: (16,PIX); slot_valid:
+    (CHUNK,1) bool.  Returns (alpha, applied, logs, g_exp, p_exc) each
+    (CHUNK,PIX) — alpha clamped to 0.99; applied includes the power/255
+    tests and the T<1e-4 stop; logs = log1p(-alpha·valid); p_exc is the
+    transmittance *before* each instance (division-free: exp of the
+    exclusive prefix).
     """
-    mx = buf[:, 0:1] - origin_x
-    my = buf[:, 1:2] - origin_y
-    ca = buf[:, 2:3]
-    cb = buf[:, 3:4]
-    cc = buf[:, 4:5]
-    op = buf[:, 5:6]
-    # power = -.5·ca·dx² -.5·cc·dy² - cb·dx·dy,  dx = mx-x, dy = my-y
-    # as K @ basis with K = [k0, k1, k2, k3, k4, k5, 0, 0]:
-    k0 = -0.5 * (ca * mx * mx + cc * my * my) - cb * mx * my
-    k1 = ca * mx + cb * my
-    k2 = cc * my + cb * mx
-    k3 = jnp.broadcast_to(-0.5 * ca, k0.shape)
-    k4 = jnp.broadcast_to(-cb, k0.shape)
-    k5 = jnp.broadcast_to(-0.5 * cc, k0.shape)
-    zero = jnp.zeros_like(k0)
-    K = jnp.concatenate([k0, k1, k2, k3, k4, k5, zero, zero], axis=1)
     power = jax.lax.dot_general(
-        K, basis, (((1,), (0,)), ((), ())),
+        data, basis, (((1,), (0,)), ((), ())),
         precision=_HIGHEST, preferred_element_type=jnp.float32)  # (CHUNK,PIX)
     g_exp = jnp.exp(power)
-    a_raw = op * g_exp
-    alpha = jnp.minimum(a_raw, 0.99)
+    op = data[:, 0:1]
+    alpha = jnp.minimum(op * g_exp, 0.99)
     valid = slot_valid & (power <= 0.0) & (alpha >= ALPHA_MIN)
     alpha_v = jnp.where(valid, alpha, 0.0)
     logs = jnp.log1p(-alpha_v)
-    return alpha, valid, logs, g_exp
+    return alpha, valid, alpha_v, logs, g_exp
 
 
 def _cumsum_chunk(vals, ltri):
@@ -204,17 +233,14 @@ def _cumsum_chunk(vals, ltri):
 # ---------------------------------------------------------------------------
 # forward kernel
 
-def _fwd_kernel(grid_x, tile_start, tile_count, tile_off, inst_hbm,
-                out_ref, buf, sem, carry, tmin):
+def _fwd_kernel(tile_start, tile_count, inst_hbm, out_ref, buf, sem,
+                carry, tmin):
     t = pl.program_id(0)
     start = tile_start[t]
     count = tile_count[t]
     nchunks = pl.cdiv(count, CHUNK)
-    gt = tile_off[0] + t
-    origin_x = ((gt % grid_x) * TILE_W).astype(jnp.float32)
-    origin_y = ((gt // grid_x) * TILE_H).astype(jnp.float32)
 
-    basis = _pixel_basis()
+    basis = _pixel_basis16()
     ltri = _lower_tri()
     log_stop = np.float32(np.log(T_STOP))
 
@@ -238,18 +264,17 @@ def _fwd_kernel(grid_x, tile_start, tile_count, tile_off, inst_hbm,
         def _():
             get_dma(1 - cur, k + 1).start()
         get_dma(cur, k).wait()
-        data = buf[cur]
+        data = buf[cur][:, 0:ILANES]
         sl = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, 1), 0)
         slot_valid = (k * CHUNK + sl) < count
-        alpha, valid, logs, _ = _chunk_alpha(data, basis, slot_valid,
-                                             origin_x, origin_y)
+        alpha, valid, alpha_v, logs, _ = _chunk_blend(data, basis,
+                                                      slot_valid)
         cum = _cumsum_chunk(logs, ltri) + carry[0:1, :]
-        p_inc = jnp.exp(cum)
-        alpha_v = jnp.where(valid, alpha, 0.0)
-        p_exc = p_inc / (1.0 - alpha_v)
+        p_exc = jnp.exp(cum - logs)            # T before this instance
+        p_inc = p_exc * (1.0 - alpha_v)        # T after (division-free)
         applied = valid & (p_inc >= T_STOP)
         w = jnp.where(applied, alpha * p_exc, 0.0)          # (CHUNK,PIX)
-        feats = data[:, 6:14]    # r,g,b,depth,unc + 3 zero lanes → (CHUNK,8)
+        feats = data[:, 0:8]     # op,r,g,b,depth,unc,k0,k1 → rows 1..5 used
         acc = jax.lax.dot_general(
             feats, w, (((0,), (0,)), ((), ())),
             precision=_HIGHEST, preferred_element_type=jnp.float32)  # (8,PIX)
@@ -276,68 +301,64 @@ def _fwd_kernel(grid_x, tile_start, tile_count, tile_off, inst_hbm,
     @pl.when(kf < nchunks)
     def _():
         get_dma(jax.lax.rem(kf, 2), kf).wait()
-    # final transmittance goes to channel row 5
-    out_ref[5:6, :] = tmin[...]
+    # final transmittance goes to channel row 6 (over the unused k0 sum)
+    out_ref[6:7, :] = tmin[...]
 
 
-def _run_forward(inst_data, tile_start, tile_count, n_tiles: int,
-                 interpret: bool, grid_x: int, tile_offset=None):
-    cap = inst_data.shape[0]
-    if tile_offset is None:
-        tile_offset = jnp.zeros((1,), jnp.int32)
+def _run_forward(inst_packed, tile_start, tile_count, n_tiles: int,
+                 interpret: bool):
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=2,
         grid=(n_tiles,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec((None, 8, PIX), lambda t, *_: (t, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((2, CHUNK, INST_W), jnp.float32),
+            pltpu.VMEM((2, CHUNK, LANES), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.VMEM((1, PIX), jnp.float32),
             pltpu.VMEM((1, PIX), jnp.float32),
         ],
     )
     return pl.pallas_call(
-        functools.partial(_fwd_kernel, grid_x),
+        _fwd_kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_tiles, 8, PIX), jnp.float32),
         interpret=interpret,
-    )(tile_start, tile_count, tile_offset, inst_data)
+    )(tile_start, tile_count, inst_packed)
 
 
 # ---------------------------------------------------------------------------
 # backward kernel
 
-def _bwd_kernel(grid_x, tile_start, tile_count, tile_off, inst_hbm,
-                pix_ref, grad_hbm, buf, gbuf, sem, gsem, carry, prefr):
+def _bwd_kernel(tile_start, tile_count, inst_hbm, pix_ref, grad_hbm,
+                buf, gbuf, sem, gsem, carry, prefr):
     """pix_ref rows: [g_r, g_g, g_b, g_depth, g_unc, Total, gTT, 0]."""
     t = pl.program_id(0)
     start = tile_start[t]
     count = tile_count[t]
     nchunks = pl.cdiv(count, CHUNK)
-    gt = tile_off[0] + t
-    origin_x = ((gt % grid_x) * TILE_W).astype(jnp.float32)
-    origin_y = ((gt // grid_x) * TILE_H).astype(jnp.float32)
 
-    basis = _pixel_basis()
+    basis = _pixel_basis16()
     ltri = _lower_tri()
     log_stop = np.float32(np.log(T_STOP))
 
     carry[...] = jnp.zeros((1, PIX), jnp.float32)
     prefr[...] = jnp.zeros((1, PIX), jnp.float32)
+    # grad lanes 16.. are never written by the compute path — zero them
+    # once (scratch persists across the sequential grid)
+    @pl.when(t == 0)
+    def _():
+        gbuf[0] = jnp.zeros((CHUNK, LANES), jnp.float32)
+        gbuf[1] = jnp.zeros((CHUNK, LANES), jnp.float32)
 
-    # loop-invariant pixel-cotangent rows
-    gr = pix_ref[0:1, :]
-    gg = pix_ref[1:2, :]
-    gb = pix_ref[2:3, :]
-    gd = pix_ref[3:4, :]
-    gu = pix_ref[4:5, :]
     total = pix_ref[5:6, :]
     gtt = pix_ref[6:7, :]
-    gstack = jnp.concatenate([gr, gg, gb, gd, gu,
-                              jnp.zeros_like(gr), jnp.zeros_like(gr),
-                              jnp.zeros_like(gr)], axis=0)       # (8,PIX)
+    zrow = jnp.zeros((1, PIX), jnp.float32)
+    # (16,PIX): channel-grad rows at 1..5, aligned with the color lanes of
+    # the instance layout, so γ and the per-channel sums are single matmuls
+    gstack = jnp.concatenate(
+        [zrow, pix_ref[0:5, :]] + [zrow] * 10, axis=0)
 
     def get_dma(slot, k):
         return pltpu.make_async_copy(
@@ -359,74 +380,46 @@ def _bwd_kernel(grid_x, tile_start, tile_count, tile_off, inst_hbm,
         def _():
             get_dma(1 - cur, k + 1).start()
         get_dma(cur, k).wait()
-        data = buf[cur]
+        data = buf[cur][:, 0:ILANES]
         sl = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, 1), 0)
         slot_valid = (k * CHUNK + sl) < count
-        alpha, valid, logs, g_exp = _chunk_alpha(data, basis, slot_valid,
-                                                 origin_x, origin_y)
+        alpha, valid, alpha_v, logs, g_exp = _chunk_blend(data, basis,
+                                                          slot_valid)
         cum = _cumsum_chunk(logs, ltri) + carry[0:1, :]
-        p_inc = jnp.exp(cum)
-        alpha_v = jnp.where(valid, alpha, 0.0)
-        p_exc = p_inc / (1.0 - alpha_v)
+        p_exc = jnp.exp(cum - logs)
+        p_inc = p_exc * (1.0 - alpha_v)
         applied = valid & (p_inc >= T_STOP)
         w = jnp.where(applied, alpha * p_exc, 0.0)
 
-        # γ_ip = c_i·g_p (per-channel dot), (CHUNK,PIX)
-        gamma = (data[:, 6:7] * gr + data[:, 7:8] * gg + data[:, 8:9] * gb
-                 + data[:, 9:10] * gd + data[:, 10:11] * gu)
-        m = gamma * w
+        # γ_ip = Σ_c chan_ic·g_cp — one matmul against the grad rows
+        gamma = jax.lax.dot_general(
+            data, gstack, (((1,), (0,)), ((), ())),
+            precision=_HIGHEST, preferred_element_type=jnp.float32)
+        m = jnp.where(applied, gamma * w, 0.0)
         pref = _cumsum_chunk(m, ltri) + prefr[0:1, :]
         # suffix of γw strictly after i, plus the background/final-T term
         suffix = total - pref + gtt
-        one_minus = 1.0 - alpha_v
         dalpha = jnp.where(applied,
-                           gamma * p_exc - suffix / one_minus, 0.0)
+                           gamma * p_exc - suffix / (1.0 - alpha_v), 0.0)
+        x_mat = jnp.where(applied, dalpha * g_exp, 0.0)      # (CHUNK,PIX)
 
         # per-instance reductions over pixels (all on the MXU):
-        # 1) color/depth/unc grads: W @ [g...] → (CHUNK,5)
-        dfeat = jax.lax.dot_general(
-            w, gstack, (((1,), (1,)), ((), ())),
-            precision=_HIGHEST, preferred_element_type=jnp.float32)  # (CHUNK,8)
-
-        # 2) moments of X = dα·G against the pixel basis → mean2d/conic/op
-        x_mat = dalpha * g_exp                               # (CHUNK,PIX)
+        # moments of X against the pixel basis (lanes 6..11) + channel
+        # grads Σ_p w·g_c (lanes 1..5) — disjoint lanes, summed into one
+        # 16-float output row per instance; the moment→grad chain runs
+        # outside the kernel after the segment reduction.
         mom = jax.lax.dot_general(
             x_mat, basis, (((1,), (1,)), ((), ())),
-            precision=_HIGHEST, preferred_element_type=jnp.float32)  # (CHUNK,8)
-        m0, m_x, m_y = mom[:, 0:1], mom[:, 1:2], mom[:, 2:3]
-        mxx, mxy, myy = mom[:, 3:4], mom[:, 4:5], mom[:, 5:6]
-
-        mx = data[:, 0:1] - origin_x
-        my = data[:, 1:2] - origin_y
-        ca = data[:, 2:3]
-        cb = data[:, 3:4]
-        cc = data[:, 4:5]
-        op = data[:, 5:6]
-        # dop_i = Σ_p dα·G   (dα/dop = G, clamp passes through)
-        dop = m0
-        # dpower = dα·op·G = op·X;  moments of dpower = op * moments of X
-        # ∂power/∂mx = -(ca·dx + cb·dy) = -(ca·(mx-x) + cb·(my-y))
-        dmx = op * (-(ca * mx + cb * my) * m0 + ca * m_x + cb * m_y)
-        dmy = op * (-(cc * my + cb * mx) * m0 + cc * m_y + cb * m_x)
-        # ∂power/∂ca = -.5 dx² = -.5(mx² - 2mx·x + x²)
-        dca = op * (-0.5) * (mx * mx * m0 - 2.0 * mx * m_x + mxx)
-        dcc = op * (-0.5) * (my * my * m0 - 2.0 * my * m_y + myy)
-        # ∂power/∂cb = -dx·dy = -(mx·my - mx·y - my·x + x·y)
-        dcb = op * (-(mx * my * m0 - mx * m_y - my * m_x + mxy))
+            precision=_HIGHEST, preferred_element_type=jnp.float32)
+        dfeat = jax.lax.dot_general(
+            w, gstack, (((1,), (1,)), ((), ())),
+            precision=_HIGHEST, preferred_element_type=jnp.float32)
 
         # wait for the write that used this output slot two chunks ago
         @pl.when(k >= 2)
         def _():
             get_gdma(cur, k - 2).wait()
-        gbuf[cur, :, 0:1] = dmx
-        gbuf[cur, :, 1:2] = dmy
-        gbuf[cur, :, 2:3] = dca
-        gbuf[cur, :, 3:4] = dcb
-        gbuf[cur, :, 4:5] = dcc
-        gbuf[cur, :, 5:6] = dop
-        gbuf[cur, :, 6:11] = dfeat[:, 0:5]
-        gbuf[cur, :, 11:INST_W] = jnp.zeros((CHUNK, INST_W - 11),
-                                            jnp.float32)
+        gbuf[cur, :, 0:ILANES] = mom + dfeat
         get_gdma(cur, k).start()
 
         prefr[...] = prefr[...] + jnp.sum(m, axis=0, keepdims=True)
@@ -459,7 +452,7 @@ def _bwd_kernel(grid_x, tile_start, tile_count, tile_off, inst_hbm,
     # gradients are exactly zero, written without compute
     @pl.when(kf < nchunks)
     def _():
-        gbuf[0] = jnp.zeros((CHUNK, INST_W), jnp.float32)
+        gbuf[0] = jnp.zeros((CHUNK, LANES), jnp.float32)
         def zbody(k, _):
             d = get_gdma(0, k)
             d.start()
@@ -468,14 +461,11 @@ def _bwd_kernel(grid_x, tile_start, tile_count, tile_off, inst_hbm,
         jax.lax.fori_loop(kf, nchunks, zbody, 0)
 
 
-def _run_backward(inst_data, pix_tiles, tile_start, tile_count,
-                  n_tiles: int, interpret: bool, grid_x: int,
-                  tile_offset=None):
-    cap = inst_data.shape[0]
-    if tile_offset is None:
-        tile_offset = jnp.zeros((1,), jnp.int32)
+def _run_backward(inst_packed, pix_tiles, tile_start, tile_count,
+                  n_tiles: int, interpret: bool):
+    cap_pad = inst_packed.shape[0]           # capacity + PAD_SLOTS
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=2,
         grid=(n_tiles,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
@@ -484,8 +474,8 @@ def _run_backward(inst_data, pix_tiles, tile_start, tile_count,
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
-            pltpu.VMEM((2, CHUNK, INST_W), jnp.float32),
-            pltpu.VMEM((2, CHUNK, INST_W), jnp.float32),
+            pltpu.VMEM((2, CHUNK, LANES), jnp.float32),
+            pltpu.VMEM((2, CHUNK, LANES), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.VMEM((1, PIX), jnp.float32),
@@ -493,12 +483,79 @@ def _run_backward(inst_data, pix_tiles, tile_start, tile_count,
         ],
     )
     return pl.pallas_call(
-        functools.partial(_bwd_kernel, grid_x),
+        _bwd_kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((cap, INST_W), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((cap_pad, LANES), jnp.float32),
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
-    )(tile_start, tile_count, tile_offset, inst_data, pix_tiles)
+    )(tile_start, tile_count, inst_packed, pix_tiles)
+
+
+# ---------------------------------------------------------------------------
+# moment → gradient conversion (pure JAX, fuses into the surrounding graph)
+
+def convert_instance_grads(raw16, inst16, valid_slot):
+    """Per-instance kernel moments → reduction-ready rows (cap,16).
+
+    Shifts the tile-local moments into the gaussian's rounded-center frame
+    (x_c = x_local + sx), which is translation-exact and keeps all terms
+    O(radius) for fp32.  Output lanes: 1..5 channel grads, 6..11 centered
+    moments [m0, mx, my, mxx, mxy, myy]; all rows linear in the pixels, so
+    they segment-sum per gaussian before the final (nonlinear) chain.
+    """
+    m0 = raw16[:, 6]
+    mx = raw16[:, 7]
+    my = raw16[:, 8]
+    mxx = raw16[:, 9]
+    mxy = raw16[:, 10]
+    myy = raw16[:, 11]
+    sx = inst16[:, 12]
+    sy = inst16[:, 13]
+    mxc = mx + sx * m0
+    myc = my + sy * m0
+    mxxc = mxx + 2.0 * sx * mx + sx * sx * m0
+    mxyc = mxy + sx * my + sy * mx + sx * sy * m0
+    myyc = myy + 2.0 * sy * my + sy * sy * m0
+    zero = jnp.zeros_like(m0)
+    out = jnp.stack([
+        zero, raw16[:, 1], raw16[:, 2], raw16[:, 3], raw16[:, 4],
+        raw16[:, 5], m0, mxc, myc, mxxc, mxyc, myyc,
+        zero, zero, zero, zero], axis=1)
+    return jnp.where(valid_slot[:, None], out, 0.0)
+
+
+def pergauss_chain(pg, mean2d, conic, opacity):
+    """Per-gaussian moment sums → (d_mean2d, d_conic, d_op, d_col, d_depth,
+    d_unc).
+
+    The reference computes these per (pixel, instance) inside the kernel
+    (backward.cu:570-601); here the chain runs once per *gaussian* on the
+    reduced centered moments — identical math because the moment form of
+    ∂power/∂(mean, conic) is translation-covariant.
+    """
+    d_col = pg[:, 1:4]
+    d_depth = pg[:, 4]
+    d_unc = pg[:, 5]
+    m0 = pg[:, 6]
+    mxs = pg[:, 7]
+    mys = pg[:, 8]
+    mxxs = pg[:, 9]
+    mxys = pg[:, 10]
+    myys = pg[:, 11]
+    mxc = mean2d[:, 0] - jnp.round(mean2d[:, 0])
+    myc = mean2d[:, 1] - jnp.round(mean2d[:, 1])
+    ca, cb, cc = conic[:, 0], conic[:, 1], conic[:, 2]
+    op = opacity
+    d_op = m0
+    # dpower-moments = op·X-moments; ∂power/∂mx = -(ca·dx + cb·dy), etc.
+    dmx = op * (-(ca * mxc + cb * myc) * m0 + ca * mxs + cb * mys)
+    dmy = op * (-(cc * myc + cb * mxc) * m0 + cc * mys + cb * mxs)
+    dca = op * (-0.5) * (mxc * mxc * m0 - 2.0 * mxc * mxs + mxxs)
+    dcc = op * (-0.5) * (myc * myc * m0 - 2.0 * myc * mys + myys)
+    dcb = op * (-(mxc * myc * m0 - mxc * mys - myc * mxs + mxys))
+    d_mean2d = jnp.stack([dmx, dmy], axis=1)
+    d_conic = jnp.stack([dca, dcb, dcc], axis=1)
+    return d_mean2d, d_conic, d_op, d_col, d_depth, d_unc
 
 
 # ---------------------------------------------------------------------------
@@ -552,13 +609,14 @@ def _segreduce_kernel(off_ref, packed_hbm, out_ref, buf, sem):
     jax.lax.fori_loop(0, nchunks, body, 0)
 
 
-def segment_reduce_grads(grads_sorted, binning: Binning, n_gauss: int,
+def segment_reduce_grads(conv, binning: Binning, n_gauss: int,
                          interpret: bool):
-    """(capacity, INST_W) sorted-order instance grads → (N, 16) sums.
+    """(capacity, 16) sorted-order instance rows → (N, 16) per-gaussian sums.
 
-    Pipeline: invert the binning permutation with one 2-int sort, row-
-    gather the first 16 columns into emission order, pack 8 instances per
-    128-lane row, then run the indicator-matmul reduction kernel.
+    Pipeline: carry the 11 used grad columns through one multi-operand
+    stable sort on the emission slot (TPU sorts stream sequentially where
+    gathers pay random access), pack 8 instances per 128-lane row, then
+    run the indicator-matmul reduction kernel.
     """
     cap = binning.emit_slot.shape[0]
     if os.environ.get("GSCREAM_REORDER_GATHER"):
@@ -566,14 +624,13 @@ def segment_reduce_grads(grads_sorted, binning: Binning, n_gauss: int,
         iota = jnp.arange(cap, dtype=jnp.int32)
         _, inv = jax.lax.sort((binning.emit_slot, iota), num_keys=1,
                               is_stable=True)      # inv[e] = sorted pos
-        ge = grads_sorted[:, :16][inv]             # (cap,16) emission order
+        ge = conv[inv]                             # (cap,16) emission order
     else:
-        # carry the grad columns through one multi-operand sort — TPU
-        # sorts stream sequentially where gathers pay random access
-        cols = tuple(grads_sorted[:, i] for i in range(16))
+        cols = tuple(conv[:, i] for i in range(1, 12))
         out = jax.lax.sort((binning.emit_slot,) + cols, num_keys=1,
                            is_stable=True)
-        ge = jnp.stack(out[1:], axis=1)            # (cap,16)
+        z = jnp.zeros((cap,), jnp.float32)
+        ge = jnp.stack((z,) + out[1:12] + (z, z, z, z), axis=1)  # (cap,16)
     rows = cap // 8
     packed = ge.reshape(rows, 128)
     packed = jnp.concatenate(
@@ -630,27 +687,24 @@ def _raster_fwd(mean2d, conic, opacity, colors, depth, unc,
     n_tiles = gx * gy
     inst = pack_instance_data(mean2d, conic, opacity, colors, depth, unc,
                               binning, gx)
-    # one extra zero chunk so the last (partial) chunk's DMA never reads
-    # past the end of the buffer
-    inst = jnp.concatenate(
-        [inst, jnp.zeros((CHUNK, INST_W), jnp.float32)], axis=0)
     tiles = _run_forward(inst, binning.tile_start, binning.tile_count,
-                         n_tiles, interpret, gx)
+                         n_tiles, interpret)
     img = tiles_to_image(tiles, width, height)     # (8,H,W)
-    raw_c = img[0:3]
-    d_img = img[3]
-    u_img = img[4]
-    t_img = img[5]
+    raw_c = img[1:4]
+    d_img = img[4]
+    u_img = img[5]
+    t_img = img[6]
     color = raw_c + t_img[None] * bg[:, None, None]
     out = TiledOut(color=color.transpose(1, 2, 0), depth=d_img,
                    uncertainty=u_img, final_t=t_img)
     res = (inst, binning, bg, raw_c, d_img, u_img, t_img,
-           mean2d.shape[0])
+           mean2d, conic, opacity)
     return out, res
 
 
 def _raster_bwd(width, height, interpret, res, g: TiledOut):
-    inst, binning, bg, raw_c, d_img, u_img, t_img, n_gauss = res
+    inst, binning, bg, raw_c, d_img, u_img, t_img, mean2d, conic, op = res
+    n_gauss = mean2d.shape[0]
     gx = -(-width // TILE_W)
     gy = -(-height // TILE_H)
     n_tiles = gx * gy
@@ -668,27 +722,23 @@ def _raster_bwd(width, height, interpret, res, g: TiledOut):
         total_img, gtt_img, jnp.zeros_like(g_depth)], axis=0)  # (8,H,W)
     pix_tiles = image_to_tiles(pix, width, height)
 
-    grads = _run_backward(inst, pix_tiles, binning.tile_start,
-                          binning.tile_count, n_tiles, interpret, gx)
+    raw = _run_backward(inst, pix_tiles, binning.tile_start,
+                        binning.tile_count, n_tiles, interpret)
+    cap = binning.gauss_id.shape[0]
     # instances outside any tile (sentinel) or beyond the count never get
     # written — mask them out before the segment reduction
-    grads = grads[:binning.gauss_id.shape[0]]
     valid_slot = binning.tile_id < n_tiles
-    grads = jnp.where(valid_slot[:, None], grads, 0.0)
+    conv = convert_instance_grads(raw[:cap, :ILANES], inst[:cap, :ILANES],
+                                  valid_slot)
 
     if os.environ.get("GSCREAM_SCATTER_REDUCE"):
         # fallback: XLA scatter-add (~150 ms at 2M instances)
-        per_gauss = jax.ops.segment_sum(grads[:, :11], binning.gauss_id,
+        per_gauss = jax.ops.segment_sum(conv, binning.gauss_id,
                                         num_segments=n_gauss)
     else:
-        per_gauss = segment_reduce_grads(grads, binning, n_gauss,
-                                         interpret)[:, :11]
-    d_mean2d = per_gauss[:, 0:2]
-    d_conic = per_gauss[:, 2:5]
-    d_op = per_gauss[:, 5]
-    d_col = per_gauss[:, 6:9]
-    d_depth = per_gauss[:, 9]
-    d_unc = per_gauss[:, 10]
+        per_gauss = segment_reduce_grads(conv, binning, n_gauss, interpret)
+    d_mean2d, d_conic, d_op, d_col, d_depth, d_unc = pergauss_chain(
+        per_gauss, mean2d, conic, op)
     # bg cotangent: out_color = C + T·bg  ⇒  d bg = Σ_p T_p · g_color_p
     d_bg = jnp.einsum('hw,chw->c', t_img, g_color)
     # Binning holds integer index arrays — their cotangent is float0 zeros

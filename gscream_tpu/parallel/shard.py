@@ -35,7 +35,7 @@ from ..model.scaffold import ScaffoldConfig, ScaffoldState, decode
 from ..ops.binning import bin_instances
 from ..ops.projection import preprocess
 from ..ops import rasterize_tiled as rt
-from ..ops.rasterize_tiled import CHUNK, INST_W, PIX, TILE_H, TILE_W, TiledOut
+from ..ops.rasterize_tiled import ILANES, PIX, TILE_H, TILE_W, TiledOut
 from .mesh import DATA_AXIS, TILE_AXIS
 
 
@@ -74,13 +74,13 @@ def _band_fwd(mean2d, conic, opacity, colors, depth, unc, binning, bg,
               width, height, n_bands, interpret):
     gx, gy, gy_pad, rows_per_band = _band_geometry(width, height, n_bands)
     band = jax.lax.axis_index(TILE_AXIS)
+    # the packed rows carry tile-local polynomial coefficients computed
+    # from each instance's *global* tile id, so band kernels need no
+    # tile-offset plumbing — local tile_start/count slices are enough
     inst = rt.pack_instance_data(mean2d, conic, opacity, colors, depth,
                                  unc, binning, gx)
-    inst = jnp.concatenate([inst, jnp.zeros((CHUNK, INST_W), jnp.float32)], 0)
     ts, tc, n_local = _band_slices(binning, gx, rows_per_band, band)
-    toff = (band * rows_per_band * gx).astype(jnp.int32).reshape(1)
-    tiles = rt._run_forward(inst, ts, tc, n_local, interpret, gx,
-                            tile_offset=toff)      # (L,8,PIX)
+    tiles = rt._run_forward(inst, ts, tc, n_local, interpret)  # (L,8,PIX)
 
     # local band → full padded canvas at the band's row offset
     band_img = tiles.reshape(rows_per_band, gx, 8, TILE_H, TILE_W)
@@ -93,20 +93,23 @@ def _band_fwd(mean2d, conic, opacity, colors, depth, unc, binning, bg,
     # composes correctly: psum(T_partial) - (n_bands-1) restores T
     full = jax.lax.psum(canvas, TILE_AXIS)
     img = full[:, :height, :width]
-    raw_c = img[0:3]
     # off-band devices contribute zeros to every channel, so the psum
-    # reconstructs each tile's values exactly (T included)
-    t_img = img[5]
+    # reconstructs each tile's values exactly (T included); kernel row
+    # layout: 1..5 = r,g,b,depth,unc sums, 6 = final T
+    raw_c = img[1:4]
+    t_img = img[6]
     color = raw_c + t_img[None] * bg[:, None, None]
-    out = TiledOut(color=color.transpose(1, 2, 0), depth=img[3],
-                   uncertainty=img[4], final_t=t_img)
-    res = (inst, binning, bg, raw_c, img[3], img[4], t_img,
-           mean2d.shape[0])
+    out = TiledOut(color=color.transpose(1, 2, 0), depth=img[4],
+                   uncertainty=img[5], final_t=t_img)
+    res = (inst, binning, bg, raw_c, img[4], img[5], t_img,
+           mean2d, conic, opacity)
     return out, res
 
 
 def _band_bwd(width, height, n_bands, interpret, res, g: TiledOut):
-    inst, binning, bg, raw_c, d_img, u_img, t_img, n_gauss = res
+    (inst, binning, bg, raw_c, d_img, u_img, t_img,
+     mean2d, conic, opacity) = res
+    n_gauss = mean2d.shape[0]
     gx, gy, gy_pad, rows_per_band = _band_geometry(width, height, n_bands)
     band = jax.lax.axis_index(TILE_AXIS)
 
@@ -133,27 +136,23 @@ def _band_bwd(width, height, n_bands, interpret, res, g: TiledOut):
         rows_per_band * gx, 8, PIX)
 
     ts, tc, n_local = _band_slices(binning, gx, rows_per_band, band)
-    toff = (band * rows_per_band * gx).astype(jnp.int32).reshape(1)
-    grads = rt._run_backward(inst, pix_tiles, ts, tc, n_local, interpret,
-                             gx, tile_offset=toff)
-    grads = grads[:binning.gauss_id.shape[0]]
-    # only this band's instance slots are written — mask the rest
+    raw = rt._run_backward(inst, pix_tiles, ts, tc, n_local, interpret)
+    cap = binning.gauss_id.shape[0]
+    # only this band's instance slots are written — mask the rest (the
+    # convert step zeroes invalid rows, covering the uninitialized slots
+    # of other bands' tiles)
     n_tiles_real = gx * gy
     slot_band = binning.tile_id // (rows_per_band * gx)
     valid = (binning.tile_id < n_tiles_real) & (slot_band == band)
-    grads = jnp.where(valid[:, None], grads, 0.0)
+    conv = rt.convert_instance_grads(raw[:cap, :ILANES],
+                                     inst[:cap, :ILANES], valid)
 
     # band-masked rows reduce to zero, so the Pallas segment reducer is
     # directly applicable per band (partials psum'd by the shard_map
     # transpose)
-    per_gauss = rt.segment_reduce_grads(grads, binning, n_gauss,
-                                        interpret)[:, :11]
-    d_mean2d = per_gauss[:, 0:2]
-    d_conic = per_gauss[:, 2:5]
-    d_op = per_gauss[:, 5]
-    d_col = per_gauss[:, 6:9]
-    d_depth = per_gauss[:, 9]
-    d_unc = per_gauss[:, 10]
+    per_gauss = rt.segment_reduce_grads(conv, binning, n_gauss, interpret)
+    d_mean2d, d_conic, d_op, d_col, d_depth, d_unc = rt.pergauss_chain(
+        per_gauss, mean2d, conic, opacity)
     # cotangents are partial (this band only); the outer shard_map
     # transpose inserts the psum over TILE_AXIS for replicated inputs.
     # bg uses the pre-psum cotangent so the outer psum yields the true

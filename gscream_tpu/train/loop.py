@@ -6,9 +6,12 @@ the inpainted image + depth, phase switch to cross-attention at
 ``start_crossattn_from``, densification every ``update_interval`` between
 ``update_from`` and ``update_until``, periodic eval/save, logging.
 
-Host-side randomness (camera order, patch boxes) uses numpy seeded like the
-reference (``safe_state`` seed 0); device-side randomness lives in the
-train state's PRNG key.
+Host-side randomness (camera order, patch boxes) is derived per iteration
+from ``(seed, it)`` — a pure function of the iteration index — so a
+checkpoint restore resumes the exact random stream of an uninterrupted run
+(the reference's ``capture``/``restore`` pair, gaussian_model.py:203-237,
+loses this state and is broken besides).  Device-side randomness lives in
+the train state's PRNG key, which the checkpoint carries.
 """
 from __future__ import annotations
 
@@ -115,7 +118,9 @@ def train_scene(views, ref_index: int, points: np.ndarray, run: RunConfig,
                 iterations: Optional[int] = None,
                 callback: Optional[Callable] = None,
                 logger: Optional[logging.Logger] = None,
-                pretrained_ply: str = ""):
+                pretrained_ply: str = "",
+                start_checkpoint: str = "",
+                checkpoint_interval: int = 0):
     """Train one scene.  ``views`` is a list of objects with
     ``.camera/.image/.mask/.depth/.name``; the reference view's image/depth
     are substituted by the provided inpainted artifacts (train.py:354-365,
@@ -133,7 +138,6 @@ def train_scene(views, ref_index: int, points: np.ndarray, run: RunConfig,
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     iters = iterations if iterations is not None else opt.iterations
-    rng = np.random.default_rng(run.seed)
 
     scaffold = init_scaffold(jax.random.PRNGKey(run.seed), points, cfg)
     if pretrained_ply:
@@ -151,6 +155,22 @@ def train_scene(views, ref_index: int, points: np.ndarray, run: RunConfig,
         logger = get_logger(out_dir or ".")
     from .metrics_log import MetricsLogger
     mlog = MetricsLogger(out_dir or ".")
+
+    start_it = 1
+    if start_checkpoint:
+        # full-state restore (params + Adam moments + densify stats + RNG
+        # + step) — the working version of the reference's broken
+        # --start_checkpoint path (train.py:618-620)
+        from ..model.io import load_checkpoint
+        ts = load_checkpoint(start_checkpoint, ts)
+        start_it = int(ts.step) + 1
+        meta_path = start_checkpoint + "_meta.json"
+        if os.path.exists(meta_path):
+            with open(meta_path) as f:
+                meta = json.load(f)
+            capacity = int(meta.get("capacity", capacity))
+        logger.info("resumed from %s at iteration %d (capacity %d)",
+                    start_checkpoint, start_it, capacity)
 
     ref_view = views[ref_index]
     h, w = ref_view.camera.height, ref_view.camera.width
@@ -177,20 +197,32 @@ def train_scene(views, ref_index: int, points: np.ndarray, run: RunConfig,
             is_ref=(i == ref_index),
         ))
 
-    order: List[int] = []
     zero_box = jnp.zeros(4, jnp.int32)
     t_start = time.time()
     cap_state = {"cap": capacity}
     phase2_any = (opt.enable_crossattn_refview > 0
                   or opt.enable_crossattn_otherview > 0)
 
+    n_views = len(dev_views)
+    order_cache: Dict[int, List[int]] = {}
+
+    def view_for(it: int) -> int:
+        """Camera order: per-epoch permutation derived from (seed, epoch) —
+        a pure function of the iteration, so resume replays it exactly."""
+        epoch, pos = divmod(it - 1, n_views)
+        if epoch not in order_cache:
+            order_cache.clear()
+            r = np.random.default_rng(
+                np.random.SeedSequence([run.seed, 77, epoch]))
+            order_cache[epoch] = list(r.permutation(n_views))
+        return order_cache[epoch][pos]
+
     def prepare(it: int) -> Dict:
         """Host-side sampling for one iteration (stored so an overflow
-        rollback re-runs the step with identical inputs)."""
-        nonlocal order
-        if not order:
-            order = list(rng.permutation(len(dev_views)))
-        vi = order.pop()
+        rollback re-runs the step with identical inputs; all randomness
+        is derived from (seed, it) for exact resume)."""
+        rng = np.random.default_rng(np.random.SeedSequence([run.seed, it]))
+        vi = view_for(it)
         v = dev_views[vi]
         # per-view cross-attn gating: the reference enables ref/other
         # views independently (train.py:445-447)
@@ -278,8 +310,16 @@ def train_scene(views, ref_index: int, points: np.ndarray, run: RunConfig,
             callback(it, ts_new, aux)
         return ts_new
 
+    def save_ckpt(it: int):
+        from ..model.io import save_checkpoint
+        path = os.path.join(out_dir or ".", "ckpt")
+        save_checkpoint(path, ts)
+        with open(path + "_meta.json", "w") as f:
+            json.dump({"iteration": it, "capacity": cap_state["cap"]}, f)
+        logger.info("checkpoint saved at iter %d -> %s", it, path)
+
     pending: Optional[Dict] = None
-    for it in range(1, iters + 1):
+    for it in range(start_it, iters + 1):
         rec = prepare(it)
         tip = pending["ts_new"] if pending is not None else ts
         rec = launch(rec, tip)
@@ -315,5 +355,15 @@ def train_scene(views, ref_index: int, points: np.ndarray, run: RunConfig,
                 min_opacity=opt.min_opacity)
             ts = ts._replace(scaffold=sc, stats=stats,
                              m=(m0, ts.m[1]), v=(v0, ts.v[1]))
+        # periodic autosave at a committed iteration boundary
+        if checkpoint_interval and it % checkpoint_interval == 0:
+            if pending is not None:
+                pending = resolve(pending)
+                ts = commit(pending)
+                pending = None
+            save_ckpt(it)
+    if checkpoint_interval and iters % checkpoint_interval != 0 \
+            and iters >= start_it:
+        save_ckpt(iters)
     mlog.close()
     return ts, log

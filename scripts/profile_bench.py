@@ -11,8 +11,7 @@ from gscream_tpu.model.scaffold import ScaffoldConfig, decode, init_scaffold
 from gscream_tpu.ops.binning import bin_instances
 from gscream_tpu.ops.projection import preprocess
 from gscream_tpu.ops.rasterize_tiled import (
-    TILE_H, TILE_W, pack_instance_data, rasterize_tiled, _run_forward,
-    CHUNK, INST_W)
+    TILE_H, TILE_W, pack_instance_data, rasterize_tiled, _run_forward)
 
 
 def timeit(f, *args, iters=5, label=""):
@@ -64,11 +63,10 @@ def main():
         b, gx))
     inst = timeit(pack_fn, splats, dec, binning, label="pack_instance_data")
 
-    inst_p = jnp.concatenate([inst, jnp.zeros((CHUNK, INST_W))], 0)
     n_tiles = gx * (-(-height // TILE_H))
     fwd_fn = jax.jit(lambda i, ts, tc: _run_forward(i, ts, tc, n_tiles,
-                                                    interpret, gx))
-    timeit(fwd_fn, inst_p, binning.tile_start, binning.tile_count,
+                                                    interpret))
+    timeit(fwd_fn, inst, binning.tile_start, binning.tile_count,
            label="pallas forward kernel")
 
     full_fn = jax.jit(lambda s, d, b: rasterize_tiled(
@@ -114,8 +112,8 @@ def bwd_parts():
     from gscream_tpu.ops.binning import bin_instances
     from gscream_tpu.ops.projection import preprocess
     from gscream_tpu.ops.rasterize_tiled import (
-        CHUNK, INST_W, TILE_H, TILE_W, _run_backward, image_to_tiles,
-        pack_instance_data)
+        ILANES, TILE_H, TILE_W, _run_backward, convert_instance_grads,
+        image_to_tiles, pack_instance_data, segment_reduce_grads)
     rng = np.random.default_rng(0)
     cfg = ScaffoldConfig(feat_dim=32, n_offsets=10, voxel_size=0.01,
                          capacity=1 << 15)
@@ -138,19 +136,20 @@ def bwd_parts():
     inst = pack_instance_data(splats.mean2d, splats.conic, dec.opacity,
                               dec.color, splats.depth, dec.uncertainty,
                               binning, gx)
-    inst = jnp.concatenate([inst, jnp.zeros((CHUNK, INST_W))], 0)
     pix = jnp.ones((8, height, width), jnp.float32)
     pt_fn = jax.jit(lambda p: image_to_tiles(p, width, height))
     pix_tiles = timeit(pt_fn, pix, label="image_to_tiles")
     bk_fn = jax.jit(lambda i, p, ts, tc: _run_backward(
-        i, p, ts, tc, n_tiles, interpret, gx))
-    grads = timeit(bk_fn, inst, pix_tiles, binning.tile_start,
-                   binning.tile_count, label="pallas backward kernel")
-    gid = binning.gauss_id
+        i, p, ts, tc, n_tiles, interpret))
+    raw = timeit(bk_fn, inst, pix_tiles, binning.tile_start,
+                 binning.tile_count, label="pallas backward kernel")
     n_g = splats.mean2d.shape[0]
-    seg_fn = jax.jit(lambda g, i: jax.ops.segment_sum(
-        g[:i.shape[0], :11], i, num_segments=n_g))
-    timeit(seg_fn, grads, gid, label="segment_sum")
+    cap = binning.gauss_id.shape[0]
+    conv_fn = jax.jit(lambda r, i, b: convert_instance_grads(
+        r[:cap, :ILANES], i[:cap, :ILANES], b.tile_id < n_tiles))
+    conv = timeit(conv_fn, raw, inst, binning, label="convert grads")
+    seg_fn = jax.jit(lambda c, b: segment_reduce_grads(c, b, n_g, interpret))
+    timeit(seg_fn, conv, binning, label="segment reduce")
 
 
 if __name__ == "__main__" and os.environ.get("BWD_PARTS"):

@@ -61,6 +61,12 @@ def parse_args():
                         "(the reference's --warmup two-phase retrain)")
     p.add_argument("--render_spiral", action="store_true",
                    help="also render the 120-pose spiral path")
+    p.add_argument("--start_checkpoint", default="",
+                   help="resume from an orbax checkpoint dir (the working "
+                        "version of the reference's broken "
+                        "--start_checkpoint, train.py:618-620)")
+    p.add_argument("--checkpoint_interval", type=int, default=0,
+                   help="autosave the full train state every N iterations")
     return p.parse_args()
 
 
@@ -182,7 +188,9 @@ def main():
         ref_image=ref_image, ref_depth=ref_depth,
         spatial_lr_scale=extent, capacity=args.instance_capacity,
         iterations=args.iterations, logger=logger,
-        callback=eval_callback, pretrained_ply=args.pretrained_ply)
+        callback=eval_callback, pretrained_ply=args.pretrained_ply,
+        start_checkpoint=args.start_checkpoint,
+        checkpoint_interval=args.checkpoint_interval)
 
     m = run.model
     cfg = ScaffoldConfig(
