@@ -165,13 +165,21 @@ def image_to_tiles(img: jnp.ndarray, width: int, height: int):
 # ---------------------------------------------------------------------------
 # in-kernel shared math
 
-def _pixel_basis16():
-    """(16, PIX) constant basis: rows 6..11 = [1, x, y, x², xy, y²] in
-    tile-local pixel coordinates (flat p → (y,x) = divmod(p, TILE_W)),
-    aligned with the k0..k5 instance lanes; all other rows zero."""
+def _pixel_rows():
+    """(1, PIX) tile-local pixel coordinate rows (flat p → (y,x) =
+    divmod(p, TILE_W)) for VPU polynomial evaluation."""
     flat = jax.lax.broadcasted_iota(jnp.int32, (1, PIX), 1)
     x = (flat % TILE_W).astype(jnp.float32)
     y = (flat // TILE_W).astype(jnp.float32)
+    return x, y
+
+
+def _pixel_basis16():
+    """(16, PIX) constant basis: rows 6..11 = [1, x, y, x², xy, y²] in
+    tile-local pixel coordinates, aligned with the k0..k5 instance lanes;
+    all other rows zero.  Used only for the backward's moment matmul
+    (contraction over the 1024 pixels — the full-depth MXU direction)."""
+    x, y = _pixel_rows()
     one = jnp.ones_like(x)
     z = jnp.zeros_like(x)
     return jnp.concatenate(
@@ -179,7 +187,18 @@ def _pixel_basis16():
         axis=0)                                    # (16, PIX)
 
 
-CUM_GROUP = 32        # sub-group size of the two-level prefix scan
+# Sub-group size of the two-level prefix scan.  128 matches the MXU tile:
+# a (128,128) triangular block runs at full systolic-array occupancy,
+# where the previous 32-wide groups wasted 4x on both the sublane and
+# contraction dimensions (measured: the scan dominated both kernels).
+CUM_GROUP = 128
+
+
+def _onehot16(i: int):
+    """(1, ILANES) constant one-hot row — places a (CHUNK,1) column into
+    grad-output lane ``i`` via a broadcast multiply."""
+    iota = jax.lax.broadcasted_iota(jnp.int32, (1, ILANES), 1)
+    return (iota == i).astype(jnp.float32)
 
 
 def _lower_tri():
@@ -189,19 +208,23 @@ def _lower_tri():
     return (j <= i).astype(jnp.float32)
 
 
-def _chunk_blend(data, basis, slot_valid):
+def _chunk_blend(data, xr, yr, slot_valid):
     """Shared forward math for one chunk.
 
-    data: (CHUNK,16) packed instance rows; basis: (16,PIX); slot_valid:
-    (CHUNK,1) bool.  Returns (alpha, applied, logs, g_exp, p_exc) each
-    (CHUNK,PIX) — alpha clamped to 0.99; applied includes the power/255
-    tests and the T<1e-4 stop; logs = log1p(-alpha·valid); p_exc is the
-    transmittance *before* each instance (division-free: exp of the
-    exclusive prefix).
+    data: (CHUNK,16) packed instance rows; xr/yr: (1,PIX) pixel rows;
+    slot_valid: (CHUNK,1) bool.  Returns (alpha, valid, alpha_v, logs,
+    g_exp) each (CHUNK,PIX) — alpha clamped to 0.99; valid includes the
+    power/255 tests; logs = log1p(-alpha·valid).
+
+    The degree-2 power polynomial is evaluated on the VPU as broadcast
+    FMAs of (CHUNK,1) coefficient columns against the (1,PIX) coordinate
+    rows — a (CHUNK,16)@(16,PIX) matmul here runs at 16/128 systolic
+    depth, so the MXU is the *slower* unit for this contraction.
     """
-    power = jax.lax.dot_general(
-        data, basis, (((1,), (0,)), ((), ())),
-        precision=_HIGHEST, preferred_element_type=jnp.float32)  # (CHUNK,PIX)
+    power = (data[:, 6:7]
+             + (data[:, 7:8] + data[:, 9:10] * xr + data[:, 10:11] * yr)
+             * xr
+             + (data[:, 8:9] + data[:, 11:12] * yr) * yr)
     g_exp = jnp.exp(power)
     op = data[:, 0:1]
     alpha = jnp.minimum(op * g_exp, 0.99)
@@ -240,7 +263,7 @@ def _fwd_kernel(tile_start, tile_count, inst_hbm, out_ref, buf, sem,
     count = tile_count[t]
     nchunks = pl.cdiv(count, CHUNK)
 
-    basis = _pixel_basis16()
+    xr, yr = _pixel_rows()
     ltri = _lower_tri()
     log_stop = np.float32(np.log(T_STOP))
 
@@ -267,7 +290,7 @@ def _fwd_kernel(tile_start, tile_count, inst_hbm, out_ref, buf, sem,
         data = buf[cur][:, 0:ILANES]
         sl = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, 1), 0)
         slot_valid = (k * CHUNK + sl) < count
-        alpha, valid, alpha_v, logs, _ = _chunk_blend(data, basis,
+        alpha, valid, alpha_v, logs, _ = _chunk_blend(data, xr, yr,
                                                       slot_valid)
         cum = _cumsum_chunk(logs, ltri) + carry[0:1, :]
         p_exc = jnp.exp(cum - logs)            # T before this instance
@@ -340,6 +363,7 @@ def _bwd_kernel(tile_start, tile_count, inst_hbm, pix_ref, grad_hbm,
     nchunks = pl.cdiv(count, CHUNK)
 
     basis = _pixel_basis16()
+    xr, yr = _pixel_rows()
     ltri = _lower_tri()
     log_stop = np.float32(np.log(T_STOP))
 
@@ -383,7 +407,7 @@ def _bwd_kernel(tile_start, tile_count, inst_hbm, pix_ref, grad_hbm,
         data = buf[cur][:, 0:ILANES]
         sl = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, 1), 0)
         slot_valid = (k * CHUNK + sl) < count
-        alpha, valid, alpha_v, logs, g_exp = _chunk_blend(data, basis,
+        alpha, valid, alpha_v, logs, g_exp = _chunk_blend(data, xr, yr,
                                                           slot_valid)
         cum = _cumsum_chunk(logs, ltri) + carry[0:1, :]
         p_exc = jnp.exp(cum - logs)
@@ -391,10 +415,13 @@ def _bwd_kernel(tile_start, tile_count, inst_hbm, pix_ref, grad_hbm,
         applied = valid & (p_inc >= T_STOP)
         w = jnp.where(applied, alpha * p_exc, 0.0)
 
-        # γ_ip = Σ_c chan_ic·g_cp — one matmul against the grad rows
-        gamma = jax.lax.dot_general(
-            data, gstack, (((1,), (0,)), ((), ())),
-            precision=_HIGHEST, preferred_element_type=jnp.float32)
+        # γ_ip = Σ_c chan_ic·g_cp — VPU broadcast FMAs (K=5 on the MXU
+        # would run at 5/128 depth)
+        gamma = (data[:, 1:2] * pix_ref[0:1, :]
+                 + data[:, 2:3] * pix_ref[1:2, :]
+                 + data[:, 3:4] * pix_ref[2:3, :]
+                 + data[:, 4:5] * pix_ref[3:4, :]
+                 + data[:, 5:6] * pix_ref[4:5, :])
         m = jnp.where(applied, gamma * w, 0.0)
         pref = _cumsum_chunk(m, ltri) + prefr[0:1, :]
         # suffix of γw strictly after i, plus the background/final-T term
@@ -403,11 +430,9 @@ def _bwd_kernel(tile_start, tile_count, inst_hbm, pix_ref, grad_hbm,
                            gamma * p_exc - suffix / (1.0 - alpha_v), 0.0)
         x_mat = jnp.where(applied, dalpha * g_exp, 0.0)      # (CHUNK,PIX)
 
-        # per-instance reductions over pixels (all on the MXU):
-        # moments of X against the pixel basis (lanes 6..11) + channel
-        # grads Σ_p w·g_c (lanes 1..5) — disjoint lanes, summed into one
-        # 16-float output row per instance; the moment→grad chain runs
-        # outside the kernel after the segment reduction.
+        # per-instance reductions over pixels (full 1024-deep MXU
+        # contractions): moments of X against the pixel basis (lanes
+        # 6..11) + channel grads Σ_p w·g_c (lanes 1..5) — disjoint lanes
         mom = jax.lax.dot_general(
             x_mat, basis, (((1,), (1,)), ((), ())),
             precision=_HIGHEST, preferred_element_type=jnp.float32)
@@ -415,11 +440,28 @@ def _bwd_kernel(tile_start, tile_count, inst_hbm, pix_ref, grad_hbm,
             w, gstack, (((1,), (1,)), ((), ())),
             precision=_HIGHEST, preferred_element_type=jnp.float32)
 
+        # shift the tile-local moments into the gaussian's rounded-center
+        # frame right here (sx/sy ride the instance rows): per-instance
+        # VPU work on (CHUNK,1) columns placed via one-hot lane rows —
+        # the rows leave the kernel reduction-ready
+        sx = data[:, 12:13]
+        sy = data[:, 13:14]
+        m0 = mom[:, 6:7]
+        mx = mom[:, 7:8]
+        my = mom[:, 8:9]
+        conv = mom + dfeat
+        conv = (conv
+                + (sx * m0) * _onehot16(7)
+                + (sy * m0) * _onehot16(8)
+                + (2.0 * sx * mx + sx * sx * m0) * _onehot16(9)
+                + (sx * my + sy * mx + sx * sy * m0) * _onehot16(10)
+                + (2.0 * sy * my + sy * sy * m0) * _onehot16(11))
+
         # wait for the write that used this output slot two chunks ago
         @pl.when(k >= 2)
         def _():
             get_gdma(cur, k - 2).wait()
-        gbuf[cur, :, 0:ILANES] = mom + dfeat
+        gbuf[cur, :, 0:ILANES] = conv
         get_gdma(cur, k).start()
 
         prefr[...] = prefr[...] + jnp.sum(m, axis=0, keepdims=True)
@@ -460,6 +502,38 @@ def _bwd_kernel(tile_start, tile_count, inst_hbm, pix_ref, grad_hbm,
             return 0
         jax.lax.fori_loop(kf, nchunks, zbody, 0)
 
+    # sentinel-tail slots (instances past the last real tile) are owned by
+    # no tile; zero them so garbage HBM can never reach the segment
+    # reduction's indicator matmul (0 * Inf = NaN there).  Double-buffered
+    # zero DMAs — pure HBM write bandwidth.
+    @pl.when(t == pl.num_programs(0) - 1)
+    def _():
+        cap_rows = grad_hbm.shape[0]
+        end = start + count
+        gbuf[0] = jnp.zeros((CHUNK, LANES), jnp.float32)
+        gbuf[1] = jnp.zeros((CHUNK, LANES), jnp.float32)
+
+        def zdma(s, j):
+            return pltpu.make_async_copy(
+                gbuf.at[s], grad_hbm.at[pl.ds(end + j * CHUNK, CHUNK), :],
+                gsem.at[s])
+
+        nz = (cap_rows - end) // CHUNK
+        def zt(j, _):
+            s = jax.lax.rem(j, 2)
+            @pl.when(j >= 2)
+            def _():
+                zdma(s, j - 2).wait()
+            zdma(s, j).start()
+            return 0
+        jax.lax.fori_loop(0, nz, zt, 0)
+        @pl.when(nz >= 2)
+        def _():
+            zdma(jax.lax.rem(nz, 2), nz - 2).wait()
+        @pl.when(nz >= 1)
+        def _():
+            zdma(jax.lax.rem(nz + 1, 2), nz - 1).wait()
+
 
 def _run_backward(inst_packed, pix_tiles, tile_start, tile_count,
                   n_tiles: int, interpret: bool):
@@ -492,37 +566,7 @@ def _run_backward(inst_packed, pix_tiles, tile_start, tile_count,
 
 
 # ---------------------------------------------------------------------------
-# moment → gradient conversion (pure JAX, fuses into the surrounding graph)
-
-def convert_instance_grads(raw16, inst16, valid_slot):
-    """Per-instance kernel moments → reduction-ready rows (cap,16).
-
-    Shifts the tile-local moments into the gaussian's rounded-center frame
-    (x_c = x_local + sx), which is translation-exact and keeps all terms
-    O(radius) for fp32.  Output lanes: 1..5 channel grads, 6..11 centered
-    moments [m0, mx, my, mxx, mxy, myy]; all rows linear in the pixels, so
-    they segment-sum per gaussian before the final (nonlinear) chain.
-    """
-    m0 = raw16[:, 6]
-    mx = raw16[:, 7]
-    my = raw16[:, 8]
-    mxx = raw16[:, 9]
-    mxy = raw16[:, 10]
-    myy = raw16[:, 11]
-    sx = inst16[:, 12]
-    sy = inst16[:, 13]
-    mxc = mx + sx * m0
-    myc = my + sy * m0
-    mxxc = mxx + 2.0 * sx * mx + sx * sx * m0
-    mxyc = mxy + sx * my + sy * mx + sx * sy * m0
-    myyc = myy + 2.0 * sy * my + sy * sy * m0
-    zero = jnp.zeros_like(m0)
-    out = jnp.stack([
-        zero, raw16[:, 1], raw16[:, 2], raw16[:, 3], raw16[:, 4],
-        raw16[:, 5], m0, mxc, myc, mxxc, mxyc, myyc,
-        zero, zero, zero, zero], axis=1)
-    return jnp.where(valid_slot[:, None], out, 0.0)
-
+# per-gaussian gradient chain (pure JAX, fuses into the surrounding graph)
 
 def pergauss_chain(pg, mean2d, conic, opacity):
     """Per-gaussian moment sums → (d_mean2d, d_conic, d_op, d_col, d_depth,
@@ -725,11 +769,9 @@ def _raster_bwd(width, height, interpret, res, g: TiledOut):
     raw = _run_backward(inst, pix_tiles, binning.tile_start,
                         binning.tile_count, n_tiles, interpret)
     cap = binning.gauss_id.shape[0]
-    # instances outside any tile (sentinel) or beyond the count never get
-    # written — mask them out before the segment reduction
-    valid_slot = binning.tile_id < n_tiles
-    conv = convert_instance_grads(raw[:cap, :ILANES], inst[:cap, :ILANES],
-                                  valid_slot)
+    # rows leave the kernel already centered (sx/sy shift applied
+    # in-kernel) and the sentinel tail zero-filled — reduction-ready
+    conv = raw[:cap, :ILANES]
 
     if os.environ.get("GSCREAM_SCATTER_REDUCE"):
         # fallback: XLA scatter-add (~150 ms at 2M instances)

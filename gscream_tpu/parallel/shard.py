@@ -6,9 +6,9 @@ shards):
 * the image's tile grid is split into contiguous **bands of tile rows**
   along the ``tiles`` axis; each device runs the Pallas kernels on its
   band only (the per-tile instance lists are already independent);
-* the rendered partial image is ``psum`` over ``tiles`` (a cheap
-  full-image all-reduce riding ICI) so every device sees the full frame
-  for the SSIM/depth losses;
+* rendered images stay **band-local**: the GScream losses are evaluated
+  by :mod:`.band_loss` with an 8-row halo ``ppermute`` plus ~20 psum'd
+  scalars, so the per-view all-reduce volume is O(W·halo), not O(H·W);
 * per-gaussian gradients come back through the local backward kernel +
   local ``segment_sum``; differentiating the ``shard_map`` with replicated
   parameter inputs inserts the cross-device gradient psum automatically —
@@ -53,9 +53,11 @@ def rasterize_band(mean2d, conic, opacity, colors, depth, unc,
                    interpret: bool):
     """Rasterize only this device's band of tile rows (inside shard_map).
 
-    Returns the *full-size* image tensor with non-local tiles zeroed —
-    callers psum over the tiles axis to complete the frame.  The band
-    index comes from ``jax.lax.axis_index(TILE_AXIS)``.
+    Returns a **band-local** TiledOut whose images cover this band's
+    ``rows_per_band·TILE_H`` pixel rows only (the last band may extend past
+    ``height`` with empty padding rows).  The band index comes from
+    ``jax.lax.axis_index(TILE_AXIS)``; no cross-band collective is issued
+    here — callers reduce losses via :mod:`.band_loss`.
     """
     out, _ = _band_fwd(mean2d, conic, opacity, colors, depth, unc,
                        binning, bg, width, height, n_bands, interpret)
@@ -82,20 +84,17 @@ def _band_fwd(mean2d, conic, opacity, colors, depth, unc, binning, bg,
     ts, tc, n_local = _band_slices(binning, gx, rows_per_band, band)
     tiles = rt._run_forward(inst, ts, tc, n_local, interpret)  # (L,8,PIX)
 
-    # local band → full padded canvas at the band's row offset
+    # local band tiles → band image (no cross-band collective; the width
+    # is cropped).  Rows past ``height`` on the last band are zeroed: the
+    # tile kernel renders them, but the losses' zero-pad SSIM windows and
+    # the halo exchange must see exactly what a full-frame crop would.
     band_img = tiles.reshape(rows_per_band, gx, 8, TILE_H, TILE_W)
-    band_img = band_img.transpose(2, 0, 3, 1, 4).reshape(
-        8, rows_per_band * TILE_H, gx * TILE_W)
-    canvas = jnp.zeros((8, gy_pad * TILE_H, gx * TILE_W), jnp.float32)
-    canvas = jax.lax.dynamic_update_slice(
-        canvas, band_img, (0, band * rows_per_band * TILE_H, 0))
-    # T channel must read 1 (not 0) outside this band so the psum'd frame
-    # composes correctly: psum(T_partial) - (n_bands-1) restores T
-    full = jax.lax.psum(canvas, TILE_AXIS)
-    img = full[:, :height, :width]
-    # off-band devices contribute zeros to every channel, so the psum
-    # reconstructs each tile's values exactly (T included); kernel row
-    # layout: 1..5 = r,g,b,depth,unc sums, 6 = final T
+    img = band_img.transpose(2, 0, 3, 1, 4).reshape(
+        8, rows_per_band * TILE_H, gx * TILE_W)[:, :, :width]
+    bh = rows_per_band * TILE_H
+    grow = band * bh + jnp.arange(bh)
+    img = img * (grow < height).astype(jnp.float32)[None, :, None]
+    # kernel row layout: 1..5 = r,g,b,depth,unc sums, 6 = final T
     raw_c = img[1:4]
     t_img = img[6]
     color = raw_c + t_img[None] * bg[:, None, None]
@@ -113,39 +112,34 @@ def _band_bwd(width, height, n_bands, interpret, res, g: TiledOut):
     gx, gy, gy_pad, rows_per_band = _band_geometry(width, height, n_bands)
     band = jax.lax.axis_index(TILE_AXIS)
 
-    # transpose of the forward's psum over TILE_AXIS: the incoming
-    # cotangent of the (replicated) output must itself be psum'd — without
-    # this, the hand-written vjp silently under-counts by the axis size
-    g_pre = g
-    g = jax.tree.map(lambda x: jax.lax.psum(x, TILE_AXIS), g)
-    g_color = g.color.transpose(2, 0, 1)
+    # the forward output is band-local, so the incoming cotangent already
+    # is too — no collective here at all
+    g_color = g.color.transpose(2, 0, 1)               # (3, bh, W)
     gtt_img = (jnp.einsum('c,chw->hw', bg, g_color) + g.final_t) * t_img
     total_img = (jnp.einsum('chw,chw->hw', raw_c, g_color)
                  + d_img * g.depth + u_img * g.uncertainty)
     pix = jnp.stack([g_color[0], g_color[1], g_color[2], g.depth,
                      g.uncertainty, total_img, gtt_img,
-                     jnp.zeros_like(d_img)], axis=0)
-    # pad to the tile canvas and slice this band's rows
-    canvas = jnp.zeros((8, gy_pad * TILE_H, gx * TILE_W), pix.dtype)
-    canvas = canvas.at[:, :height, :width].set(pix)
-    band_pix = jax.lax.dynamic_slice(
-        canvas, (0, band * rows_per_band * TILE_H, 0),
-        (8, rows_per_band * TILE_H, gx * TILE_W))
-    pix_tiles = band_pix.reshape(8, rows_per_band, TILE_H, gx, TILE_W)
+                     jnp.zeros_like(d_img)], axis=0)   # (8, bh, W)
+    # transpose of the forward's zeroing of rows past ``height``
+    bh = rows_per_band * TILE_H
+    grow = band * bh + jnp.arange(bh)
+    pix = pix * (grow < height).astype(jnp.float32)[None, :, None]
+    pix = jnp.pad(pix, ((0, 0), (0, 0), (0, gx * TILE_W - width)))
+    pix_tiles = pix.reshape(8, rows_per_band, TILE_H, gx, TILE_W)
     pix_tiles = pix_tiles.transpose(1, 3, 0, 2, 4).reshape(
         rows_per_band * gx, 8, PIX)
 
     ts, tc, n_local = _band_slices(binning, gx, rows_per_band, band)
     raw = rt._run_backward(inst, pix_tiles, ts, tc, n_local, interpret)
     cap = binning.gauss_id.shape[0]
-    # only this band's instance slots are written — mask the rest (the
-    # convert step zeroes invalid rows, covering the uninitialized slots
-    # of other bands' tiles)
+    # the kernel centers moments in-kernel and zero-fills past its last
+    # local tile, but slots of *earlier* bands' tiles on this device are
+    # uninitialized — mask everything outside this band's slot range
     n_tiles_real = gx * gy
     slot_band = binning.tile_id // (rows_per_band * gx)
     valid = (binning.tile_id < n_tiles_real) & (slot_band == band)
-    conv = rt.convert_instance_grads(raw[:cap, :ILANES],
-                                     inst[:cap, :ILANES], valid)
+    conv = jnp.where(valid[:, None], raw[:cap, :ILANES], 0.0)
 
     # band-masked rows reduce to zero, so the Pallas segment reducer is
     # directly applicable per band (partials psum'd by the shard_map
@@ -154,10 +148,8 @@ def _band_bwd(width, height, n_bands, interpret, res, g: TiledOut):
     d_mean2d, d_conic, d_op, d_col, d_depth, d_unc = rt.pergauss_chain(
         per_gauss, mean2d, conic, opacity)
     # cotangents are partial (this band only); the outer shard_map
-    # transpose inserts the psum over TILE_AXIS for replicated inputs.
-    # bg uses the pre-psum cotangent so the outer psum yields the true
-    # (un-multiplied) gradient.
-    d_bg = jnp.einsum('hw,chw->c', t_img, g_pre.color.transpose(2, 0, 1))
+    # transpose inserts the psum over TILE_AXIS for replicated inputs
+    d_bg = jnp.einsum('hw,chw->c', t_img, g_color)
     d_binning = jax.tree.map(
         lambda x: np.zeros(x.shape, jax.dtypes.float0), binning)
     return (d_mean2d, d_conic, d_op, d_col, d_depth, d_unc, d_binning, d_bg)
@@ -208,6 +200,7 @@ def make_sharded_loss(mesh, cfg: ScaffoldConfig, opt: OptimConfig,
 
     def local_fn(params, mlps, alive, xyz_max, w2c, fproj, center, tfx,
                  tfy, image, mask, mono):
+        from .band_loss import band_loss_terms
         cam = Camera(w2c=w2c[0], full_proj=fproj[0], cam_center=center[0],
                      tan_fovx=tfx[0], tan_fovy=tfy[0],
                      width=width, height=height)
@@ -216,14 +209,15 @@ def make_sharded_loss(mesh, cfg: ScaffoldConfig, opt: OptimConfig,
         bg = jnp.zeros(3, jnp.float32)
         out, dec, binning = render_view_sharded(
             scaffold, cam, bg, cfg, capacity, n_bands, interpret)
-        from ..train.step import loss_terms
-        loss, l1 = loss_terms(out, image[0], mask[0], mono[0],
-                              jnp.zeros((height, width)), opt,
-                              is_ref=is_ref_weighting)
-        # pmean over tiles makes the redundant per-band loss computation a
-        # true average, so the psum-transpose of the image all-reduce does
-        # not double-count gradients; pmean over data averages views.
-        loss = jax.lax.pmean(loss, (DATA_AXIS, TILE_AXIS))
+        _, _, _, rows_per_band = _band_geometry(width, height, n_bands)
+        row0 = jax.lax.axis_index(TILE_AXIS) * rows_per_band * TILE_H
+        # band-local loss: after its internal psums the value is identical
+        # on every band device, so only the data axis needs a pmean
+        loss, l1 = band_loss_terms(
+            out, row0, image[0], mask[0], mono[0],
+            jnp.zeros((height, width)), opt, is_ref_weighting,
+            height, width, TILE_AXIS, n_bands)
+        loss = jax.lax.pmean(loss, DATA_AXIS)
         return loss
 
     in_specs = (P(), P(), P(), P(),

@@ -112,8 +112,8 @@ def bwd_parts():
     from gscream_tpu.ops.binning import bin_instances
     from gscream_tpu.ops.projection import preprocess
     from gscream_tpu.ops.rasterize_tiled import (
-        ILANES, TILE_H, TILE_W, _run_backward, convert_instance_grads,
-        image_to_tiles, pack_instance_data, segment_reduce_grads)
+        ILANES, TILE_H, TILE_W, _run_backward, image_to_tiles,
+        pack_instance_data, segment_reduce_grads)
     rng = np.random.default_rng(0)
     cfg = ScaffoldConfig(feat_dim=32, n_offsets=10, voxel_size=0.01,
                          capacity=1 << 15)
@@ -145,11 +145,9 @@ def bwd_parts():
                  binning.tile_count, label="pallas backward kernel")
     n_g = splats.mean2d.shape[0]
     cap = binning.gauss_id.shape[0]
-    conv_fn = jax.jit(lambda r, i, b: convert_instance_grads(
-        r[:cap, :ILANES], i[:cap, :ILANES], b.tile_id < n_tiles))
-    conv = timeit(conv_fn, raw, inst, binning, label="convert grads")
-    seg_fn = jax.jit(lambda c, b: segment_reduce_grads(c, b, n_g, interpret))
-    timeit(seg_fn, conv, binning, label="segment reduce")
+    seg_fn = jax.jit(lambda r, b: segment_reduce_grads(
+        r[:cap, :ILANES], b, n_g, interpret))
+    timeit(seg_fn, raw, binning, label="segment reduce")
 
 
 if __name__ == "__main__" and os.environ.get("BWD_PARTS"):

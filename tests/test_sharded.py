@@ -46,6 +46,53 @@ def _loss_and_grads(mesh, scene, data):
     return float(loss), grads
 
 
+@pytest.mark.parametrize("is_ref", [True, False])
+@pytest.mark.parametrize("hw", [(64, 64), (48, 40)])
+def test_band_loss_matches_global(is_ref, hw):
+    """band_loss_terms at n_bands=1 == train.step.loss_terms, including
+    sub-tile image heights (the zero-pad SSIM boundary)."""
+    from gscream_tpu.ops.rasterize_tiled import TILE_H, TiledOut
+    from gscream_tpu.parallel.band_loss import band_loss_terms
+    from gscream_tpu.train.step import loss_terms
+
+    h, w = hw
+    rng = np.random.default_rng(3)
+    color = rng.uniform(size=(h, w, 3)).astype(np.float32)
+    depth = rng.uniform(1.0, 4.0, size=(h, w)).astype(np.float32)
+    unc = rng.uniform(size=(h, w)).astype(np.float32)
+    t = rng.uniform(size=(h, w)).astype(np.float32)
+    gt = rng.uniform(size=(3, h, w)).astype(np.float32)
+    mask = (rng.uniform(size=(1, h, w)) > 0.6).astype(np.float32)
+    mono = rng.uniform(1.0, 3.0, size=(1, h, w)).astype(np.float32)
+    fgbox = (rng.uniform(size=(h, w)) > 0.5).astype(np.float32)
+    opt = OptimConfig()
+
+    out_full = TiledOut(color=jnp.asarray(color), depth=jnp.asarray(depth),
+                        uncertainty=jnp.asarray(unc), final_t=jnp.asarray(t))
+    l_ref, l1_ref = loss_terms(out_full, gt, mask, mono, fgbox, opt,
+                               is_ref=is_ref)
+
+    bh = -(-h // TILE_H) * TILE_H
+    pad = ((0, bh - h), (0, 0))
+
+    def padrows(x):
+        return jnp.asarray(np.pad(x, pad + ((0, 0),) * (x.ndim - 2)
+                                  if x.ndim == 2 else
+                                  ((0, bh - h),) + ((0, 0),) * (x.ndim - 1)))
+
+    out_band = TiledOut(
+        color=jnp.asarray(np.pad(color, ((0, bh - h), (0, 0), (0, 0)))),
+        depth=jnp.asarray(np.pad(depth, ((0, bh - h), (0, 0)))),
+        uncertainty=jnp.asarray(np.pad(unc, ((0, bh - h), (0, 0)))),
+        final_t=jnp.asarray(np.pad(t, ((0, bh - h), (0, 0)))))
+    l_band, l1_band = band_loss_terms(
+        out_band, jnp.int32(0), jnp.asarray(gt), jnp.asarray(mask),
+        jnp.asarray(mono), jnp.asarray(fgbox), opt, is_ref, h, w,
+        "tiles", 1)
+    np.testing.assert_allclose(float(l_band), float(l_ref), rtol=2e-5)
+    np.testing.assert_allclose(float(l1_band), float(l1_ref), rtol=2e-5)
+
+
 def test_tile_sharding_matches_single(scene):
     """2-band tile sharding == 1-band (single device) loss and grads."""
     if len(jax.devices()) < 2:
