@@ -74,6 +74,10 @@ class OptimConfig:
     mlp_color_lr_final: float = 0.00005
     mlp_color_lr_delay_mult: float = 0.01
     mlp_color_lr_max_steps: int = 30_000
+    mlp_featurebank_lr_init: float = 0.01    # arguments/__init__.py:135-138
+    mlp_featurebank_lr_final: float = 0.00001
+    mlp_featurebank_lr_delay_mult: float = 0.01
+    mlp_featurebank_lr_max_steps: int = 30_000
     crossattn_lr_init: float = 0.002     # run.py: --crossattn_lr_init 0.002
     crossattn_lr_final: float = 0.00002  # run.py: --crossattn_lr_final 2e-5
     crossattn_lr_delay_mult: float = 0.01

@@ -74,6 +74,8 @@ class ScaffoldConfig(NamedTuple):
     capacity: int = 2 ** 17     # static anchor capacity (padded)
     attn_heads: int = 8         # crossattn heads (run.py --attn_head_num)
     attn_head_dim: int = 64
+    use_feat_bank: bool = False  # view-adaptive multi-res feature mix
+                                 # (gaussian_model.py:109-115, default off)
 
 
 class AnchorParams(NamedTuple):
@@ -93,6 +95,8 @@ class MLPParams(NamedTuple):
     cov: Any                  # feat+3+1 → F → 7k
     color: Any                # feat+3+1 → F → 3k, sigmoid
     crossattn: Any            # bidirectional cross attention params
+    feat_bank: Any = None     # 3+1 → F → 3 softmax (use_feat_bank only,
+                              # gaussian_model.py:109-115)
 
 
 class ScaffoldState(NamedTuple):
@@ -172,6 +176,8 @@ def init_mlps(key, cfg: ScaffoldConfig) -> MLPParams:
         crossattn=init_bidirectional_attn(
             keys[4], dim=F, heads=cfg.attn_heads,
             dim_head=cfg.attn_head_dim, context_dim=F),
+        feat_bank=(init_mlp(jax.random.fold_in(key, 5), (3 + 1, F, 3))
+                   if cfg.use_feat_bank else None),
     )
 
 
@@ -213,7 +219,19 @@ def decode(state: ScaffoldState, cam_center: jnp.ndarray,
     safe_view = jnp.where(degenerate, jnp.array([0.0, 0.0, 1.0]), ob_view)
     ob_dist = jnp.linalg.norm(safe_view, axis=1, keepdims=True)
     ob_dir = safe_view / ob_dist
-    x = jnp.concatenate([p.feat, ob_dir, ob_dist], axis=1)  # (C,F+4)
+    feat = p.feat
+    if cfg.use_feat_bank:
+        # view-adaptive multi-resolution feature mix
+        # (gaussian_renderer/__init__.py:39-50): softmax weights blend the
+        # feature with its stride-2 and stride-4 subsamples tiled back up
+        # (torch ``repeat`` tiles, so tiling — not interleaving — here)
+        cat_view = jnp.concatenate([ob_dir, ob_dist], axis=1)     # (C,4)
+        bw = apply_mlp(state.mlps.feat_bank, cat_view,
+                       lambda z: jax.nn.softmax(z, axis=1))       # (C,3)
+        feat = (jnp.tile(feat[:, ::4], (1, 4)) * bw[:, 0:1]
+                + jnp.tile(feat[:, ::2], (1, 2)) * bw[:, 1:2]
+                + feat * bw[:, 2:3])
+    x = jnp.concatenate([feat, ob_dir, ob_dist], axis=1)    # (C,F+4)
 
     neural_op = apply_mlp(state.mlps.opacity, x, jnp.tanh)      # (C,k)
     unc = apply_mlp(state.mlps.uncertainty, x, jax.nn.sigmoid)  # (C,k)

@@ -134,7 +134,8 @@ def train_scene(views, ref_index: int, points: np.ndarray, run: RunConfig,
         update_init_factor=m.update_init_factor,
         update_hierachy_factor=m.update_hierachy_factor,
         capacity=m.anchor_capacity,
-        attn_heads=opt.attn_head_num, attn_head_dim=opt.attn_head_dim)
+        attn_heads=opt.attn_head_num, attn_head_dim=opt.attn_head_dim,
+        use_feat_bank=m.use_feat_bank)
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     iters = iterations if iterations is not None else opt.iterations

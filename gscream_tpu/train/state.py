@@ -79,6 +79,10 @@ def lr_tree(step, opt: OptimConfig, spatial_lr_scale: float):
                            opt.crossattn_lr_final,
                            lr_delay_mult=opt.crossattn_lr_delay_mult,
                            max_steps=opt.crossattn_lr_max_steps),
+        feat_bank=expon_lr(step, opt.mlp_featurebank_lr_init,
+                           opt.mlp_featurebank_lr_final,
+                           lr_delay_mult=opt.mlp_featurebank_lr_delay_mult,
+                           max_steps=opt.mlp_featurebank_lr_max_steps),
     )
     anchor_lrs = AnchorParams(
         anchor=anchor_lr,

@@ -267,13 +267,14 @@ def train_step(ts: TrainState, camera: Camera, gt_image, gt_mask,
             scaling=cross_ok, rotation=False, opacity=False,
             uncertainty=False)
         mlp_mask = MLPParams(opacity=cross_ok, uncertainty=cross_ok,
-                             cov=cross_ok, color=cross_ok, crossattn=False)
+                             cov=cross_ok, color=cross_ok, crossattn=False,
+                             feat_bank=cross_ok)
     else:
         anchor_mask = AnchorParams(
             anchor=True, offset=True, feat=not feat_frozen,
             scaling=True, rotation=False, opacity=False, uncertainty=False)
         mlp_mask = MLPParams(opacity=True, uncertainty=True, cov=True,
-                             color=True, crossattn=False)
+                             color=True, crossattn=False, feat_bank=True)
     mask_full = (broadcast_group(anchor_mask, scaffold.params),
                  broadcast_group(mlp_mask, scaffold.mlps))
 

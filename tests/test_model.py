@@ -136,3 +136,44 @@ def test_densify_dedup_existing(rng):
     st2, _, _ = dz.adjust_anchors(st, stats, moments,
                                   jax.random.PRNGKey(6), CFG)
     assert int(n_alive(st2)) == n0  # nothing new
+
+
+def test_feat_bank_decode(rng):
+    """use_feat_bank: softmax-weighted multi-resolution feature mixing
+    (gaussian_model.py:109-115, gaussian_renderer/__init__.py:39-50)
+    changes the decode output and matches a manual torch-repeat-style
+    tiling of the strided subsamples."""
+    pts = rng.uniform(-1, 1, (50, 3)).astype(np.float32)
+    cfg_fb = CFG._replace(use_feat_bank=True)
+    st = init_scaffold(jax.random.PRNGKey(7), pts, cfg_fb)
+    assert st.mlps.feat_bank is not None
+    feat = 0.5 * jax.random.normal(jax.random.PRNGKey(8),
+                                   st.params.feat.shape)
+    st = st._replace(params=st.params._replace(feat=feat))
+    cam = jnp.array([0.0, 0.0, 3.0])
+
+    dec_fb = decode(st, cam, None, cfg_fb)
+    dec_plain = decode(st, cam, None, CFG)
+    # mixing must actually change the decoded colors
+    assert not np.allclose(np.asarray(dec_fb.color),
+                           np.asarray(dec_plain.color))
+
+    # manual reimplementation of the mix for one anchor
+    from gscream_tpu.model.scaffold import apply_mlp
+    i = 3
+    view = st.params.anchor[i] - cam
+    dist = jnp.linalg.norm(view)
+    dirn = view / dist
+    cat = jnp.concatenate([dirn, dist[None]])[None]
+    bw = apply_mlp(st.mlps.feat_bank, cat,
+                   lambda z: jax.nn.softmax(z, axis=1))[0]
+    f = feat[i]
+    mixed = (jnp.tile(f[::4], 4) * bw[0] + jnp.tile(f[::2], 2) * bw[1]
+             + f * bw[2])
+    x = jnp.concatenate([mixed, dirn, dist[None]])[None]
+    color_i = apply_mlp(st.mlps.color, x, jax.nn.sigmoid).reshape(
+        cfg_fb.n_offsets, 3)
+    np.testing.assert_allclose(
+        np.asarray(dec_fb.color[i * cfg_fb.n_offsets:(i + 1)
+                                * cfg_fb.n_offsets]),
+        np.asarray(color_i), rtol=1e-5, atol=1e-6)

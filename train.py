@@ -37,6 +37,9 @@ def parse_args():
     p.add_argument("--update_init_factor", type=int, default=16)
     p.add_argument("--feat_dim", type=int, default=32)
     p.add_argument("--n_offsets", type=int, default=10)
+    p.add_argument("--use_feat_bank", action="store_true",
+                   help="view-adaptive multi-res feature mixing "
+                        "(gaussian_model.py:109-115; reference default off)")
     p.add_argument("--start_crossattn_from", type=int, default=15000)
     p.add_argument("--crossattn_feat_update_ema", type=float, default=0.03)
     # loss weights (reference scripts/run.py:47-57 paper values)
@@ -97,7 +100,8 @@ def main():
             ref_image_path=args.ref_image_path,
             ref_depth_path=args.ref_depth_path,
             anchor_capacity=args.anchor_capacity,
-            instance_capacity=args.instance_capacity),
+            instance_capacity=args.instance_capacity,
+            use_feat_bank=args.use_feat_bank),
         optim=OptimConfig(
             iterations=args.iterations,
             start_crossattn_from=args.start_crossattn_from,
@@ -167,7 +171,8 @@ def main():
                    voxel_size=run.model.voxel_size,
                    capacity=run.model.anchor_capacity,
                    attn_heads=run.optim.attn_head_num,
-                   attn_head_dim=run.optim.attn_head_dim)
+                   attn_head_dim=run.optim.attn_head_dim,
+                   use_feat_bank=run.model.use_feat_bank)
         cam0 = test_views[0].camera
         rf = make_render_fn(ts.scaffold, cfg_l, cam0.width, cam0.height,
                             args.instance_capacity)
@@ -197,7 +202,8 @@ def main():
         feat_dim=m.feat_dim, n_offsets=m.n_offsets,
         voxel_size=m.voxel_size, capacity=m.anchor_capacity,
         attn_heads=run.optim.attn_head_num,
-        attn_head_dim=run.optim.attn_head_dim)
+        attn_head_dim=run.optim.attn_head_dim,
+        use_feat_bank=m.use_feat_bank)
     ply_dir = os.path.join(args.model_path, "point_cloud",
                            f"iteration_{args.iterations}")
     save_anchors_ply(os.path.join(ply_dir, "point_cloud.ply"),
