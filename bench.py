@@ -33,7 +33,7 @@ def build_workload(width, height, n_anchors=30000, k=10, seed=0):
     from gscream_tpu.ops.binning import bin_instances
     from gscream_tpu.ops.projection import preprocess
     from gscream_tpu.ops.rasterize_tiled import (
-        TILE_H, TILE_W, rasterize_tiled)
+        TILE_H, TILE_W, gauss_attrs, rasterize_tiled)
 
     rng = np.random.default_rng(seed)
     cfg = ScaffoldConfig(feat_dim=32, n_offsets=k, voxel_size=0.01,
@@ -59,8 +59,13 @@ def build_workload(width, height, n_anchors=30000, k=10, seed=0):
             dec.xyz, dec.scale, dec.rot, cam.w2c, cam.full_proj,
             width, height, cam.tan_fovx, cam.tan_fovy,
             tile_w=TILE_W, tile_h=TILE_H, active_mask=dec.active)
-        binning = bin_instances(splats, capacity, width, height,
-                                TILE_W, TILE_H, precise=False)
+        # training configuration: exact (tile, depth) lexicographic sort,
+        # attributes carried as sort payload (gather-free packing)
+        binning = bin_instances(
+            splats, capacity, width, height, TILE_W, TILE_H, precise=True,
+            attrs=jax.lax.stop_gradient(gauss_attrs(
+                splats.mean2d, splats.conic, dec.opacity, dec.color,
+                splats.depth, dec.uncertainty)))
         out = rasterize_tiled(splats.mean2d, splats.conic, dec.opacity,
                               dec.color, splats.depth, dec.uncertainty,
                               binning, jnp.zeros(3), width, height,
@@ -123,7 +128,7 @@ def main():
             "iter_ms": dt * 1e3,
             "instances": n_inst,
             "backend": backend,
-            "sort": "fast",
+            "sort": "precise",
             **extra,
         }
     except Exception as e:

@@ -20,7 +20,7 @@ Design for XLA (static shapes, SURVEY.md §7 hard part 2):
 from __future__ import annotations
 
 from functools import partial
-from typing import NamedTuple
+from typing import Any, NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -36,6 +36,10 @@ class Binning(NamedTuple):
     num_instances: jnp.ndarray  # () int32 total emitted (may exceed capacity!)
     emit_slot: jnp.ndarray   # (capacity,) int32 emission index of each sorted slot
     offsets: jnp.ndarray     # (N+1,) int32 emission range starts per gaussian
+    attrs: Any = None        # optional (capacity, n_attr) f32 — per-gaussian
+                             # attributes carried through the sort as payload
+                             # operands (streams; a post-sort row gather of
+                             # the same data costs ~2x, profiled round 1)
 
 
 def num_tiles(width: int, height: int, tile_w: int, tile_h: int) -> int:
@@ -45,7 +49,8 @@ def num_tiles(width: int, height: int, tile_w: int, tile_h: int) -> int:
 @partial(jax.jit, static_argnames=("capacity", "width", "height",
                                    "tile_w", "tile_h", "precise"))
 def bin_instances(splats: Splats, capacity: int, width: int, height: int,
-                  tile_w: int, tile_h: int, precise: bool = True) -> Binning:
+                  tile_w: int, tile_h: int, precise: bool = True,
+                  attrs=None) -> Binning:
     """Build depth-sorted per-tile instance lists with static capacity.
 
     If ``num_instances > capacity`` the trailing instances (highest gaussian
@@ -57,6 +62,12 @@ def bin_instances(splats: Splats, capacity: int, width: int, height: int,
     gaussians closer than that in depth may blend in emission order
     instead of strict depth order.  Roughly halves the sort cost; only
     available when the tile grid fits 11 bits, else falls back to exact.
+
+    ``attrs`` (N, n_attr) f32 per-gaussian attributes are expanded to
+    emission order inside the *single* row-gather this function already
+    pays, then ride the sort as payload operands — the downstream
+    ``pack_instance_data`` then needs no gather at all (TPU sorts stream;
+    a 2M-row random gather of the same data costs ~2x, round-1 profile).
     """
     grid_x = -(-width // tile_w)
     n_tiles = num_tiles(width, height, tile_w, tile_h)
@@ -82,21 +93,29 @@ def bin_instances(splats: Splats, capacity: int, width: int, height: int,
     # one fused row-gather for every per-gaussian emission attribute —
     # TPU gathers pay a large per-row overhead, so five separate scalar
     # gathers of 2M elements cost ~20× one (N,8)-row gather (profiled)
-    emit_tab = jnp.stack([
+    cols = [
         offsets.astype(jnp.int32),
         splats.rect_min[:, 0], splats.rect_min[:, 1],
         jnp.maximum(rect_w, 1).astype(jnp.int32),
         jax.lax.bitcast_convert_type(splats.depth, jnp.int32),
-        jnp.zeros_like(offsets, dtype=jnp.int32),
-        jnp.zeros_like(offsets, dtype=jnp.int32),
-        jnp.zeros_like(offsets, dtype=jnp.int32),
-    ], axis=1)                                   # (N,8) int32
-    et = emit_tab[g]                             # (capacity,8) row gather
+    ]
+    n_attr = 0
+    if attrs is not None:
+        n_attr = attrs.shape[1]
+        cols += [jax.lax.bitcast_convert_type(attrs[:, i], jnp.int32)
+                 for i in range(n_attr)]
+    pad_cols = -len(cols) % 8
+    cols += [jnp.zeros_like(offsets, dtype=jnp.int32)] * pad_cols
+    emit_tab = jnp.stack(cols, axis=1)           # (N, 5+n_attr→8k) int32
+    et = emit_tab[g]                             # (capacity,·) row gather
     local = slot - et[:, 0]
     rw = et[:, 3]
     tile_x = et[:, 1] + local % rw
     tile_y = et[:, 2] + local // rw
     tile = tile_y * grid_x + tile_x
+    attr_ops = tuple(
+        jax.lax.bitcast_convert_type(et[:, 5 + i], jnp.float32)
+        for i in range(n_attr))
 
     valid = slot < jnp.minimum(total, capacity)
     tile = jnp.where(valid, tile, n_tiles).astype(jnp.int32)
@@ -110,16 +129,21 @@ def bin_instances(splats: Splats, capacity: int, width: int, height: int,
             jnp.uint32(11)).astype(jnp.int32) & 0xFFFFF
         key = jnp.where(valid, (tile << 20) | dq,
                         (jnp.int32(n_tiles) << 20))
-        key_s, sorted_gauss, emit_slot = jax.lax.sort(
-            (key, g, slot), num_keys=1, is_stable=True)
+        out = jax.lax.sort(
+            (key, g, slot) + attr_ops, num_keys=1, is_stable=True)
+        key_s, sorted_gauss, emit_slot = out[0], out[1], out[2]
+        sorted_attrs = out[3:]
         sorted_tile = jax.lax.shift_right_logical(
             key_s.astype(jnp.uint32), jnp.uint32(20)).astype(jnp.int32)
     else:
         # one lexicographic sort on (tile, depth) carrying the gaussian
         # id — the reference's single 64-bit radix sort
         # (rasterizer_impl.cu:306-314)
-        sorted_tile, _, sorted_gauss, emit_slot = jax.lax.sort(
-            (tile, depth_bits, g, slot), num_keys=2, is_stable=True)
+        out = jax.lax.sort(
+            (tile, depth_bits, g, slot) + attr_ops, num_keys=2,
+            is_stable=True)
+        sorted_tile, sorted_gauss, emit_slot = out[0], out[2], out[3]
+        sorted_attrs = out[4:]
 
     tids = jnp.arange(n_tiles, dtype=jnp.int32)
     tile_start = jnp.searchsorted(sorted_tile, tids, side='left').astype(jnp.int32)
@@ -135,4 +159,6 @@ def bin_instances(splats: Splats, capacity: int, width: int, height: int,
                    tile_count=tile_end - tile_start,
                    num_instances=total.astype(jnp.int32),
                    emit_slot=emit_slot.astype(jnp.int32),
-                   offsets=all_offsets)
+                   offsets=all_offsets,
+                   attrs=(jnp.stack(sorted_attrs, axis=1)
+                          if n_attr else None))

@@ -186,29 +186,97 @@ def preprocess(means3d: jnp.ndarray, scales: jnp.ndarray, rots: jnp.ndarray,
     that are near-culled, degenerate (det<=0) or whose tile rect is empty —
     these must be excluded by the rasterizer (the reference returns early,
     forward.cu:186-246, leaving radius 0).
+
+    Internals run on **column** (N,) arrays with the 3×3 algebra unrolled
+    to scalar-broadcast FMAs: stacked (N,3)/(N,3,3) intermediates put the
+    tiny trailing axis on the TPU's 128-lane dimension (~3/128 lane
+    occupancy), so the column form is the fast layout.  Semantics are
+    bit-identical to the reference math documented above.
     """
     focal_x = width / (2.0 * tan_fovx)
     focal_y = height / (2.0 * tan_fovy)
 
-    p_view, p_ndc = project_points(means3d, w2c, full_proj)
-    depth = p_view[:, 2]
+    px, py, pz = means3d[:, 0], means3d[:, 1], means3d[:, 2]
+
+    def xform(m, x, y, z):
+        """Row ``m · [x,y,z,1]`` as broadcast FMAs — w2c/full_proj are
+        small (4,4) device arrays whose scalar entries XLA folds into the
+        fused elementwise loop as broadcasts."""
+        return m[0] * x + m[1] * y + m[2] * z + m[3]
+
+    tview_x = xform(w2c[0], px, py, pz)
+    tview_y = xform(w2c[1], px, py, pz)
+    depth = xform(w2c[2], px, py, pz)
     in_front = depth > NEAR_Z
 
-    if cov3d_precomp is None:
-        cov3d = build_cov3d(scales, rots, scale_modifier)
-    else:
-        cov3d = cov3d_precomp
-    # Guard the EWA math against z≈0 for culled points (values are masked out).
-    safe_view = jnp.where(in_front[:, None],
-                          p_view, jnp.array([0.0, 0.0, 1.0], p_view.dtype))
-    cov2d = ewa_cov2d(means3d, safe_view, cov3d, w2c,
-                      focal_x, focal_y, tan_fovx, tan_fovy)
+    p_clip_x = xform(full_proj[0], px, py, pz)
+    p_clip_y = xform(full_proj[1], px, py, pz)
+    p_clip_w = xform(full_proj[3], px, py, pz)
+    p_w = 1.0 / (p_clip_w + 1e-7)
+    ndc_x = p_clip_x * p_w
+    ndc_y = p_clip_y * p_w
 
-    a, b, c = cov2d[:, 0], cov2d[:, 1], cov2d[:, 2]
+    if cov3d_precomp is None:
+        # cov3D = R S² Rᵀ, unrolled (computeCov3D, forward.cu:120-154)
+        qr, qx, qy, qz = rots[:, 0], rots[:, 1], rots[:, 2], rots[:, 3]
+        r00 = 1 - 2 * (qy * qy + qz * qz)
+        r01 = 2 * (qx * qy - qr * qz)
+        r02 = 2 * (qx * qz + qr * qy)
+        r10 = 2 * (qx * qy + qr * qz)
+        r11 = 1 - 2 * (qx * qx + qz * qz)
+        r12 = 2 * (qy * qz - qr * qx)
+        r20 = 2 * (qx * qz - qr * qy)
+        r21 = 2 * (qy * qz + qr * qx)
+        r22 = 1 - 2 * (qx * qx + qy * qy)
+        s0 = scale_modifier * scales[:, 0]
+        s1 = scale_modifier * scales[:, 1]
+        s2 = scale_modifier * scales[:, 2]
+        s0, s1, s2 = s0 * s0, s1 * s1, s2 * s2
+        c00 = r00 * r00 * s0 + r01 * r01 * s1 + r02 * r02 * s2
+        c01 = r00 * r10 * s0 + r01 * r11 * s1 + r02 * r12 * s2
+        c02 = r00 * r20 * s0 + r01 * r21 * s1 + r02 * r22 * s2
+        c11 = r10 * r10 * s0 + r11 * r11 * s1 + r12 * r12 * s2
+        c12 = r10 * r20 * s0 + r11 * r21 * s1 + r12 * r22 * s2
+        c22 = r20 * r20 * s0 + r21 * r21 * s1 + r22 * r22 * s2
+    else:
+        c00, c01, c02 = (cov3d_precomp[:, 0], cov3d_precomp[:, 1],
+                         cov3d_precomp[:, 2])
+        c11, c12, c22 = (cov3d_precomp[:, 3], cov3d_precomp[:, 4],
+                         cov3d_precomp[:, 5])
+
+    # EWA cov2D (computeCov2D, forward.cu:76-115), columns throughout.
+    # Guard z≈0 for culled points (values are masked out downstream).
+    tz = jnp.where(in_front, depth, 1.0)
+    tx = jnp.where(in_front, tview_x, 0.0)
+    ty = jnp.where(in_front, tview_y, 0.0)
+    limx = 1.3 * tan_fovx
+    limy = 1.3 * tan_fovy
+    tx = jnp.clip(tx / tz, -limx, limx) * tz
+    ty = jnp.clip(ty / tz, -limy, limy) * tz
+
+    # M = W Σ Wᵀ with static W = w2c[:3,:3] scalars
+    W = w2c[:3, :3]
+    cv = ((c00, c01, c02), (c01, c11, c12), (c02, c12, c22))
+    # Yi_k = Σ_j W[i,j]·cv[j][k]  (3×3 each a fused FMA chain)
+    Y = [[sum(W[i, j] * cv[j][k] for j in range(3)) for k in range(3)]
+         for i in range(3)]
+    # M[i,l] = Σ_k Y[i][k]·W[l,k] — only the entries the Jacobian needs
+    def Ment(i, l):
+        return sum(Y[i][k] * W[l, k] for k in range(3))
+    m00, m01, m02 = Ment(0, 0), Ment(0, 1), Ment(0, 2)
+    m11, m12, m22 = Ment(1, 1), Ment(1, 2), Ment(2, 2)
+
+    inv_z = 1.0 / tz
+    u = focal_x * inv_z
+    v = focal_y * inv_z
+    s = -(focal_x * tx) * inv_z * inv_z
+    t = -(focal_y * ty) * inv_z * inv_z
+    a = u * u * m00 + 2.0 * u * s * m02 + s * s * m22 + COV2D_DILATION
+    b = u * v * m01 + u * t * m02 + v * s * m12 + s * t * m22
+    c = v * v * m11 + 2.0 * v * t * m12 + t * t * m22 + COV2D_DILATION
     det = a * c - b * b
     det_valid = det != 0.0
     inv_det = 1.0 / jnp.where(det_valid, det, 1.0)
-    conic = jnp.stack([c * inv_det, -b * inv_det, a * inv_det], axis=-1)
 
     mid = 0.5 * (a + c)
     # forward.cu:233-235: eigenvalue discriminant clamped at 0.1
@@ -216,31 +284,39 @@ def preprocess(means3d: jnp.ndarray, scales: jnp.ndarray, rots: jnp.ndarray,
     lam_max = mid + disc
     radius_f = jnp.ceil(3.0 * jnp.sqrt(jnp.maximum(lam_max, 0.0)))
 
-    mean2d = jnp.stack([
-        ((p_ndc[:, 0] + 1.0) * width - 1.0) * 0.5,
-        ((p_ndc[:, 1] + 1.0) * height - 1.0) * 0.5,
-    ], axis=-1)
+    mean_x = ((ndc_x + 1.0) * width - 1.0) * 0.5
+    mean_y = ((ndc_y + 1.0) * height - 1.0) * 0.5
 
     # Empty tile rect => invisible (forward.cu:237-246: getRect then
-    # zero-area early-out).
+    # zero-area early-out); getRect math in columns (auxiliary.h:45-56)
+    grid_x = -(-width // tile_w)
+    grid_y = -(-height // tile_h)
     radius_i = radius_f.astype(jnp.int32)
-    rect_min, rect_max = tile_rect(mean2d, radius_i, width, height,
-                                   tile_w, tile_h)
-    area = ((rect_max[:, 0] - rect_min[:, 0])
-            * (rect_max[:, 1] - rect_min[:, 1]))
+    r = radius_f
+    rmin_x = jnp.clip(jnp.floor((mean_x - r) / tile_w), 0, grid_x)
+    rmin_y = jnp.clip(jnp.floor((mean_y - r) / tile_h), 0, grid_y)
+    rmax_x = jnp.clip(jnp.floor((mean_x + r + tile_w - 1) / tile_w),
+                      0, grid_x)
+    rmax_y = jnp.clip(jnp.floor((mean_y + r + tile_h - 1) / tile_h),
+                      0, grid_y)
+    area = (rmax_x - rmin_x) * (rmax_y - rmin_y)
     visible = in_front & det_valid & (area > 0)
     if active_mask is not None:
         # caller-side cull (e.g. neural opacity <= 0 — such gaussians are
         # never rasterized, so don't emit instances for them)
         visible = visible & active_mask
     radius = jnp.where(visible, radius_i, 0)
-    zero2 = jnp.zeros_like(rect_min)
-    rect_min = jnp.where(visible[:, None], rect_min, zero2)
-    rect_max = jnp.where(visible[:, None], rect_max, zero2)
+    vzi = visible.astype(jnp.int32)
 
-    return Splats(mean2d=mean2d, conic=conic, depth=depth,
-                  radius=radius, cov2d=cov2d,
-                  rect_min=rect_min, rect_max=rect_max)
+    return Splats(
+        mean2d=jnp.stack([mean_x, mean_y], axis=-1),
+        conic=jnp.stack([c * inv_det, -b * inv_det, a * inv_det], axis=-1),
+        depth=depth, radius=radius,
+        cov2d=jnp.stack([a, b, c], axis=-1),
+        rect_min=jnp.stack([rmin_x.astype(jnp.int32) * vzi,
+                            rmin_y.astype(jnp.int32) * vzi], axis=-1),
+        rect_max=jnp.stack([rmax_x.astype(jnp.int32) * vzi,
+                            rmax_y.astype(jnp.int32) * vzi], axis=-1))
 
 
 def visible_filter(means3d, scales, rots, camera, scale_modifier=1.0):

@@ -78,10 +78,14 @@ from .projection import ALPHA_MIN, T_STOP, Splats, preprocess
 TILE_W = 32           # pixels per tile, x — tile pixel count must be 1024
 TILE_H = 32           # pixels per tile, y   (= one (8,128) f32 vreg block)
 PIX = TILE_W * TILE_H
-CHUNK = 256           # instances processed per inner step
 LANES = 128
-ILANES = 16           # used floats per instance row (input + grad output)
-PAD_SLOTS = CHUNK     # slack rows absorbing the last chunk's tail overrun
+ILANES = 16           # used floats per instance (8 instances per 128-lane
+                      # packed row; grad output rows stay 1/instance)
+CHUNK_F = 1024        # fwd instances per inner step (= RPC_F packed rows)
+RPC_F = CHUNK_F // 8
+CHUNK_B = 512         # bwd instances per inner step (VMEM-bound: 4 per-φ
+RPC_B = CHUNK_B // 8  # scratch planes are held across the 3 φ passes)
+PAD_SLOTS = 1024      # slack instance rows absorbing chunk tail overruns
 
 _HIGHEST = jax.lax.Precision.HIGHEST
 
@@ -102,22 +106,33 @@ class TiledOut(NamedTuple):
 # ---------------------------------------------------------------------------
 # packing helpers (pure JAX)
 
+def gauss_attrs(mean2d, conic, opacity, colors, depth, unc):
+    """(N, 11) attribute table [op, r, g, b, depth, unc, mx, my, ca, cb,
+    cc] — pass to ``bin_instances(attrs=...)`` so the sort carries it to
+    per-instance order and ``pack_instance_data`` needs no gather."""
+    return jnp.concatenate([
+        opacity[:, None], colors, depth[:, None], unc[:, None],
+        mean2d, conic,
+    ], axis=1)
+
+
 def pack_instance_data(mean2d, conic, opacity, colors, depth, unc,
                        binning: Binning, grid_x: int):
     """Per-gaussian attributes → packed per-instance rows in sorted order.
 
-    One (N,11) row-gather (TPU gathers pay per-row overhead — scalar
-    gathers of the same element count are ~20× slower, profiled), then the
-    tile-local power polynomial ``power(x,y) = k0 + k1·x + k2·y + k3·x² +
-    k4·xy + k5·y²`` is precomputed per instance, so the kernels do no
-    per-instance math at all.  Rows are 128 lanes (Mosaic DMA alignment),
-    lanes 0..15 used.
+    When the binning carried the attributes through its sort
+    (``binning.attrs``) this is gather-free; otherwise one (N,11)
+    row-gather (TPU gathers pay per-row overhead — scalar gathers of the
+    same element count are ~20× slower, profiled).  The tile-local power
+    polynomial ``power(x,y) = k0 + k1·x + k2·y + k3·x² + k4·xy + k5·y²``
+    is precomputed per instance, so the kernels do no per-instance math at
+    all.  Rows are 128 lanes (Mosaic DMA alignment), lanes 0..15 used.
     """
-    attrs = jnp.concatenate([
-        opacity[:, None], colors, depth[:, None], unc[:, None],
-        mean2d, conic,
-    ], axis=1)                                     # (N, 11)
-    a = attrs[binning.gauss_id]                    # (cap, 11) row gather
+    if binning.attrs is not None:
+        a = binning.attrs                          # (cap, 11) pre-sorted
+    else:
+        attrs = gauss_attrs(mean2d, conic, opacity, colors, depth, unc)
+        a = attrs[binning.gauss_id]                # (cap, 11) row gather
     tile = binning.tile_id
     ox = ((tile % grid_x) * TILE_W).astype(jnp.float32)
     oy = ((tile // grid_x) * TILE_H).astype(jnp.float32)
@@ -128,8 +143,8 @@ def pack_instance_data(mean2d, conic, opacity, colors, depth, unc,
     k1 = ca * mxl + cb * myl
     k2 = cc * myl + cb * mxl
     # sx/sy shift the backward's tile-local moments into the gaussian's own
-    # rounded-center frame (see convert_instance_grads) — stays O(radius),
-    # so no fp32 catastrophic cancellation at any image size
+    # rounded-center frame (in-kernel centering) — stays O(radius), so no
+    # fp32 catastrophic cancellation at any image size
     sx = ox - jnp.round(a[:, 6])
     sy = oy - jnp.round(a[:, 7])
     zero = jnp.zeros_like(k0)
@@ -137,8 +152,12 @@ def pack_instance_data(mean2d, conic, opacity, colors, depth, unc,
         a[:, 0], a[:, 1], a[:, 2], a[:, 3], a[:, 4], a[:, 5],
         k0, k1, k2, -0.5 * ca, -cb, -0.5 * cc, sx, sy, zero, zero,
     ], axis=1)                                     # (cap, 16)
-    data16 = jnp.pad(data16, ((0, PAD_SLOTS), (0, LANES - ILANES)))
-    return data16                                  # (cap+pad, 128)
+    cap = data16.shape[0]
+    data16 = jnp.pad(data16, ((0, PAD_SLOTS), (0, 0)))
+    # 8 instances per 128-lane row: instance i sits at row i//8, lanes
+    # 16·(i%8)..16·(i%8)+16 — a pure reshape, so packing writes 16 floats
+    # per instance instead of a 128-lane padded row (8× less HBM traffic)
+    return data16.reshape((cap + PAD_SLOTS) // 8, LANES)
 
 
 def tiles_to_image(tiles: jnp.ndarray, width: int, height: int):
@@ -187,84 +206,63 @@ def _pixel_basis16():
         axis=0)                                    # (16, PIX)
 
 
-# Sub-group size of the two-level prefix scan.  128 matches the MXU tile:
-# a (128,128) triangular block runs at full systolic-array occupancy,
-# where the previous 32-wide groups wasted 4x on both the sublane and
-# contraction dimensions (measured: the scan dominated both kernels).
-CUM_GROUP = 128
-
-
 def _onehot16(i: int):
-    """(1, ILANES) constant one-hot row — places a (CHUNK,1) column into
+    """(1, ILANES) constant one-hot row — places a (rows,1) column into
     grad-output lane ``i`` via a broadcast multiply."""
     iota = jax.lax.broadcasted_iota(jnp.int32, (1, ILANES), 1)
     return (iota == i).astype(jnp.float32)
 
 
-def _lower_tri():
-    """(CUM_GROUP, CUM_GROUP) inclusive-prefix matrix: L[i,j]=1 if j<=i."""
-    i = jax.lax.broadcasted_iota(jnp.int32, (CUM_GROUP, CUM_GROUP), 0)
-    j = jax.lax.broadcasted_iota(jnp.int32, (CUM_GROUP, CUM_GROUP), 1)
-    return (j <= i).astype(jnp.float32)
+def _strict_lower_tri(n: int):
+    """(n, n) exclusive-prefix matrix: L[i,j]=1 if j<i."""
+    i = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+    j = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+    return (j < i).astype(jnp.float32)
 
 
-def _chunk_blend(data, xr, yr, slot_valid):
-    """Shared forward math for one chunk.
+def _phi_blend(d, xr, yr, slot_valid):
+    """Per-φ-block forward math: d (R,16) instance lanes, xr/yr (1,PIX),
+    slot_valid (R,1).  Returns (alpha_v, logs, g_exp) each (R,PIX).
 
-    data: (CHUNK,16) packed instance rows; xr/yr: (1,PIX) pixel rows;
-    slot_valid: (CHUNK,1) bool.  Returns (alpha, valid, alpha_v, logs,
-    g_exp) each (CHUNK,PIX) — alpha clamped to 0.99; valid includes the
-    power/255 tests; logs = log1p(-alpha·valid).
-
-    The degree-2 power polynomial is evaluated on the VPU as broadcast
-    FMAs of (CHUNK,1) coefficient columns against the (1,PIX) coordinate
-    rows — a (CHUNK,16)@(16,PIX) matmul here runs at 16/128 systolic
-    depth, so the MXU is the *slower* unit for this contraction.
+    The degree-2 power polynomial runs on the VPU as broadcast FMAs of
+    (R,1) coefficient columns against (1,PIX) coordinate rows — an MXU
+    contraction of depth 16 would waste 112/128 of the systolic array.
     """
-    power = (data[:, 6:7]
-             + (data[:, 7:8] + data[:, 9:10] * xr + data[:, 10:11] * yr)
-             * xr
-             + (data[:, 8:9] + data[:, 11:12] * yr) * yr)
+    power = (d[:, 6:7]
+             + (d[:, 7:8] + d[:, 9:10] * xr + d[:, 10:11] * yr) * xr
+             + (d[:, 8:9] + d[:, 11:12] * yr) * yr)
     g_exp = jnp.exp(power)
-    op = data[:, 0:1]
-    alpha = jnp.minimum(op * g_exp, 0.99)
+    alpha = jnp.minimum(d[:, 0:1] * g_exp, 0.99)
     valid = slot_valid & (power <= 0.0) & (alpha >= ALPHA_MIN)
     alpha_v = jnp.where(valid, alpha, 0.0)
     logs = jnp.log1p(-alpha_v)
-    return alpha, valid, alpha_v, logs, g_exp
-
-
-def _cumsum_chunk(vals, ltri):
-    """Inclusive prefix sum along the instance axis via MXU.
-
-    Two-level scan: (CUM_GROUP×CUM_GROUP) triangular matmuls within each
-    sub-group plus a carried group offset — 8× fewer MACs than one
-    (CHUNK,CHUNK) triangular matmul, same fp32 result order per group.
-    """
-    parts = []
-    off = jnp.zeros((1, vals.shape[1]), jnp.float32)
-    for g in range(CHUNK // CUM_GROUP):
-        blk = vals[g * CUM_GROUP:(g + 1) * CUM_GROUP, :]
-        pre = jax.lax.dot_general(
-            ltri, blk, (((1,), (0,)), ((), ())),
-            precision=_HIGHEST, preferred_element_type=jnp.float32) + off
-        parts.append(pre)
-        off = pre[CUM_GROUP - 1:CUM_GROUP, :]
-    return jnp.concatenate(parts, axis=0)
+    return alpha_v, logs, g_exp
 
 
 # ---------------------------------------------------------------------------
 # forward kernel
 
 def _fwd_kernel(tile_start, tile_count, inst_hbm, out_ref, buf, sem,
-                carry, tmin):
+                carry, tmin, logs_s, av_s):
+    """Packed-row forward: one chunk = RPC_F rows × 8 φ-lane-groups.
+
+    The global blend order is row-major, φ-minor (instance = 8·row + φ),
+    so the transmittance prefix factorizes into one (RPC,RPC) strict-
+    lower-triangular MXU scan over the per-row log sums plus a running
+    φ partial — 8× fewer scan MACs per instance than scanning unpacked
+    rows, at identical (128-wide) systolic occupancy.
+    """
     t = pl.program_id(0)
     start = tile_start[t]
     count = tile_count[t]
-    nchunks = pl.cdiv(count, CHUNK)
+    r0 = start // 8
+    # rows spanning [start, start+count) — boundary instances of the
+    # neighbouring tiles ride along masked-out (slot_valid)
+    total_rows = (start + count + 7) // 8 - r0
+    nchunks = pl.cdiv(total_rows, RPC_F)
 
     xr, yr = _pixel_rows()
-    ltri = _lower_tri()
+    sltri = _strict_lower_tri(RPC_F)
     log_stop = np.float32(np.log(T_STOP))
 
     out_ref[...] = jnp.zeros((8, PIX), jnp.float32)
@@ -273,7 +271,7 @@ def _fwd_kernel(tile_start, tile_count, inst_hbm, out_ref, buf, sem,
 
     def get_dma(slot, k):
         return pltpu.make_async_copy(
-            inst_hbm.at[pl.ds(start + k * CHUNK, CHUNK), :],
+            inst_hbm.at[pl.ds(r0 + k * RPC_F, RPC_F), :],
             buf.at[slot], sem.at[slot])
 
     @pl.when(nchunks > 0)
@@ -287,26 +285,45 @@ def _fwd_kernel(tile_start, tile_count, inst_hbm, out_ref, buf, sem,
         def _():
             get_dma(1 - cur, k + 1).start()
         get_dma(cur, k).wait()
-        data = buf[cur][:, 0:ILANES]
-        sl = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, 1), 0)
-        slot_valid = (k * CHUNK + sl) < count
-        alpha, valid, alpha_v, logs, _ = _chunk_blend(data, xr, yr,
-                                                      slot_valid)
-        cum = _cumsum_chunk(logs, ltri) + carry[0:1, :]
-        p_exc = jnp.exp(cum - logs)            # T before this instance
-        p_inc = p_exc * (1.0 - alpha_v)        # T after (division-free)
-        applied = valid & (p_inc >= T_STOP)
-        w = jnp.where(applied, alpha * p_exc, 0.0)          # (CHUNK,PIX)
-        feats = data[:, 0:8]     # op,r,g,b,depth,unc,k0,k1 → rows 1..5 used
-        acc = jax.lax.dot_general(
-            feats, w, (((0,), (0,)), ((), ())),
-            precision=_HIGHEST, preferred_element_type=jnp.float32)  # (8,PIX)
-        out_ref[...] += acc
-        tmin[...] = jnp.minimum(
-            tmin[...],
-            jnp.min(jnp.where(p_inc >= T_STOP, p_inc, 1.0), axis=0,
-                    keepdims=True))
-        carry[...] = carry[...] + jnp.sum(logs, axis=0, keepdims=True)
+        base = (r0 + k * RPC_F) * 8
+        ri = jax.lax.broadcasted_iota(jnp.int32, (RPC_F, 1), 0)
+
+        # pass 1: per-φ alpha/log, row sums for the scan
+        S = jnp.zeros((RPC_F, PIX), jnp.float32)
+        for phi in range(8):
+            d = buf[cur][:, 16 * phi:16 * phi + 16]
+            idx = base + ri * 8 + phi
+            slot_valid = (idx >= start) & (idx < start + count)
+            alpha_v, logs, _ = _phi_blend(d, xr, yr, slot_valid)
+            logs_s[phi] = logs
+            av_s[phi] = alpha_v
+            S = S + logs
+
+        # exclusive row prefix (strict triangle) + chunk carry
+        run = jax.lax.dot_general(
+            sltri, S, (((1,), (0,)), ((), ())),
+            precision=_HIGHEST, preferred_element_type=jnp.float32) \
+            + carry[0:1, :]
+
+        # pass 2: blend in global order, maintaining the φ running sum
+        for phi in range(8):
+            alpha_v = av_s[phi]
+            p_exc = jnp.exp(run)               # T before this instance
+            p_inc = p_exc * (1.0 - alpha_v)    # T after (division-free)
+            w = jnp.where(p_inc >= T_STOP, alpha_v * p_exc, 0.0)
+            d = buf[cur][:, 16 * phi:16 * phi + 16]
+            acc = jax.lax.dot_general(
+                d[:, 0:8], w, (((0,), (0,)), ((), ())),
+                precision=_HIGHEST,
+                preferred_element_type=jnp.float32)          # (8,PIX)
+            out_ref[...] += acc
+            tmin[...] = jnp.minimum(
+                tmin[...],
+                jnp.min(jnp.where(p_inc >= T_STOP, p_inc, 1.0), axis=0,
+                        keepdims=True))
+            run = run + logs_s[phi]
+
+        carry[...] = carry[...] + jnp.sum(S, axis=0, keepdims=True)
         # alive while any pixel's transmittance can still exceed the stop
         return jnp.max(carry[0:1, :]) >= log_stop
 
@@ -337,10 +354,12 @@ def _run_forward(inst_packed, tile_start, tile_count, n_tiles: int,
         out_specs=pl.BlockSpec((None, 8, PIX), lambda t, *_: (t, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((2, CHUNK, LANES), jnp.float32),
+            pltpu.VMEM((2, RPC_F, LANES), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.VMEM((1, PIX), jnp.float32),
             pltpu.VMEM((1, PIX), jnp.float32),
+            pltpu.VMEM((8, RPC_F, PIX), jnp.float32),
+            pltpu.VMEM((8, RPC_F, PIX), jnp.float32),
         ],
     )
     return pl.pallas_call(
@@ -355,16 +374,32 @@ def _run_forward(inst_packed, tile_start, tile_count, n_tiles: int,
 # backward kernel
 
 def _bwd_kernel(tile_start, tile_count, inst_hbm, pix_ref, grad_hbm,
-                buf, gbuf, sem, gsem, carry, prefr):
-    """pix_ref rows: [g_r, g_g, g_b, g_depth, g_unc, Total, gTT, 0]."""
+                buf, gbuf, sem, gsem, carry, prefr,
+                logs_s, av_s, ge_s, pe_s):
+    """pix_ref rows: [g_r, g_g, g_b, g_depth, g_unc, Total, gTT, 0].
+
+    Packed-row backward in three φ passes per chunk (RPC_B rows × 8 φ):
+    (1) alpha/log planes + row sums, (2) transmittance + blend weights,
+    channel-grad staging and the γw row sums, (3) suffix recovery and the
+    moment matmuls.  Grad output stays one 128-lane row per *instance*
+    (segment-reducer layout): each φ's (RPC,16) block is interleaved into
+    the chunk's fat rows in VMEM, then one DMA writes rows
+    [8·row0, 8·row0+CHUNK) — starting exactly at ``start`` for the first
+    chunk (8 static head-skip cases), so a tile never touches its
+    predecessor's instances; tail overruns are rewritten by later tiles
+    (the grid is sequential in slot order) and the sentinel pass.
+    """
     t = pl.program_id(0)
     start = tile_start[t]
     count = tile_count[t]
-    nchunks = pl.cdiv(count, CHUNK)
+    r0 = start // 8
+    s8 = start - r0 * 8
+    total_rows = (start + count + 7) // 8 - r0
+    nchunks = pl.cdiv(total_rows, RPC_B)
 
     basis = _pixel_basis16()
     xr, yr = _pixel_rows()
-    ltri = _lower_tri()
+    sltri = _strict_lower_tri(RPC_B)
     log_stop = np.float32(np.log(T_STOP))
 
     carry[...] = jnp.zeros((1, PIX), jnp.float32)
@@ -373,30 +408,70 @@ def _bwd_kernel(tile_start, tile_count, inst_hbm, pix_ref, grad_hbm,
     # once (scratch persists across the sequential grid)
     @pl.when(t == 0)
     def _():
-        gbuf[0] = jnp.zeros((CHUNK, LANES), jnp.float32)
-        gbuf[1] = jnp.zeros((CHUNK, LANES), jnp.float32)
+        gbuf[0] = jnp.zeros((CHUNK_B, LANES), jnp.float32)
+        gbuf[1] = jnp.zeros((CHUNK_B, LANES), jnp.float32)
 
     total = pix_ref[5:6, :]
     gtt = pix_ref[6:7, :]
     zrow = jnp.zeros((1, PIX), jnp.float32)
     # (16,PIX): channel-grad rows at 1..5, aligned with the color lanes of
-    # the instance layout, so γ and the per-channel sums are single matmuls
+    # the instance layout, so the per-channel sums are single matmuls
     gstack = jnp.concatenate(
         [zrow, pix_ref[0:5, :]] + [zrow] * 10, axis=0)
 
     def get_dma(slot, k):
         return pltpu.make_async_copy(
-            inst_hbm.at[pl.ds(start + k * CHUNK, CHUNK), :],
+            inst_hbm.at[pl.ds(r0 + k * RPC_B, RPC_B), :],
             buf.at[slot], sem.at[slot])
 
-    def get_gdma(slot, k):
+    def gdma_full(slot, k):
         return pltpu.make_async_copy(
-            gbuf.at[slot], grad_hbm.at[pl.ds(start + k * CHUNK, CHUNK), :],
+            gbuf.at[slot],
+            grad_hbm.at[pl.ds((r0 + k * RPC_B) * 8, CHUNK_B), :],
             gsem.at[slot])
+
+    def gdma_head(slot, b):
+        # first chunk: skip the b = start%8 leading instances (they are
+        # the predecessor tile's tail — already written, must survive)
+        return pltpu.make_async_copy(
+            gbuf.at[slot].at[pl.ds(b, CHUNK_B - b), :],
+            grad_hbm.at[pl.ds(r0 * 8 + b, CHUNK_B - b), :],
+            gsem.at[slot])
+
+    def start_gdma(slot, k):
+        @pl.when(k > 0)
+        def _():
+            gdma_full(slot, k).start()
+        @pl.when(k == 0)
+        def _():
+            for b in range(8):
+                @pl.when(s8 == b)
+                def _():
+                    gdma_head(slot, b).start()
+
+    def wait_gdma(slot, k):
+        @pl.when(k > 0)
+        def _():
+            gdma_full(slot, k).wait()
+        @pl.when(k == 0)
+        def _():
+            for b in range(8):
+                @pl.when(s8 == b)
+                def _():
+                    gdma_head(slot, b).wait()
 
     @pl.when(nchunks > 0)
     def _():
         get_dma(0, 0).start()
+
+    def gamma_of(d):
+        # γ_ip = Σ_c chan_ic·g_cp — VPU broadcast FMAs (K=5 on the MXU
+        # would run at 5/128 depth)
+        return (d[:, 1:2] * pix_ref[0:1, :]
+                + d[:, 2:3] * pix_ref[1:2, :]
+                + d[:, 3:4] * pix_ref[2:3, :]
+                + d[:, 4:5] * pix_ref[3:4, :]
+                + d[:, 5:6] * pix_ref[4:5, :])
 
     def body(k, _):
         cur = jax.lax.rem(k, 2)
@@ -404,68 +479,95 @@ def _bwd_kernel(tile_start, tile_count, inst_hbm, pix_ref, grad_hbm,
         def _():
             get_dma(1 - cur, k + 1).start()
         get_dma(cur, k).wait()
-        data = buf[cur][:, 0:ILANES]
-        sl = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, 1), 0)
-        slot_valid = (k * CHUNK + sl) < count
-        alpha, valid, alpha_v, logs, g_exp = _chunk_blend(data, xr, yr,
-                                                          slot_valid)
-        cum = _cumsum_chunk(logs, ltri) + carry[0:1, :]
-        p_exc = jnp.exp(cum - logs)
-        p_inc = p_exc * (1.0 - alpha_v)
-        applied = valid & (p_inc >= T_STOP)
-        w = jnp.where(applied, alpha * p_exc, 0.0)
+        base = (r0 + k * RPC_B) * 8
+        ri = jax.lax.broadcasted_iota(jnp.int32, (RPC_B, 1), 0)
 
-        # γ_ip = Σ_c chan_ic·g_cp — VPU broadcast FMAs (K=5 on the MXU
-        # would run at 5/128 depth)
-        gamma = (data[:, 1:2] * pix_ref[0:1, :]
-                 + data[:, 2:3] * pix_ref[1:2, :]
-                 + data[:, 3:4] * pix_ref[2:3, :]
-                 + data[:, 4:5] * pix_ref[3:4, :]
-                 + data[:, 5:6] * pix_ref[4:5, :])
-        m = jnp.where(applied, gamma * w, 0.0)
-        pref = _cumsum_chunk(m, ltri) + prefr[0:1, :]
-        # suffix of γw strictly after i, plus the background/final-T term
-        suffix = total - pref + gtt
-        dalpha = jnp.where(applied,
-                           gamma * p_exc - suffix / (1.0 - alpha_v), 0.0)
-        x_mat = jnp.where(applied, dalpha * g_exp, 0.0)      # (CHUNK,PIX)
+        # pass 1: per-φ planes + row log sums
+        S = jnp.zeros((RPC_B, PIX), jnp.float32)
+        for phi in range(8):
+            d = buf[cur][:, 16 * phi:16 * phi + 16]
+            idx = base + ri * 8 + phi
+            slot_valid = (idx >= start) & (idx < start + count)
+            alpha_v, logs, g_exp = _phi_blend(d, xr, yr, slot_valid)
+            logs_s[phi] = logs
+            av_s[phi] = alpha_v
+            ge_s[phi] = g_exp
+            S = S + logs
 
-        # per-instance reductions over pixels (full 1024-deep MXU
-        # contractions): moments of X against the pixel basis (lanes
-        # 6..11) + channel grads Σ_p w·g_c (lanes 1..5) — disjoint lanes
-        mom = jax.lax.dot_general(
-            x_mat, basis, (((1,), (1,)), ((), ())),
-            precision=_HIGHEST, preferred_element_type=jnp.float32)
-        dfeat = jax.lax.dot_general(
-            w, gstack, (((1,), (1,)), ((), ())),
-            precision=_HIGHEST, preferred_element_type=jnp.float32)
+        run = jax.lax.dot_general(
+            sltri, S, (((1,), (0,)), ((), ())),
+            precision=_HIGHEST, preferred_element_type=jnp.float32) \
+            + carry[0:1, :]
 
-        # shift the tile-local moments into the gaussian's rounded-center
-        # frame right here (sx/sy ride the instance rows): per-instance
-        # VPU work on (CHUNK,1) columns placed via one-hot lane rows —
-        # the rows leave the kernel reduction-ready
-        sx = data[:, 12:13]
-        sy = data[:, 13:14]
-        m0 = mom[:, 6:7]
-        mx = mom[:, 7:8]
-        my = mom[:, 8:9]
-        conv = mom + dfeat
-        conv = (conv
-                + (sx * m0) * _onehot16(7)
-                + (sy * m0) * _onehot16(8)
-                + (2.0 * sx * mx + sx * sx * m0) * _onehot16(9)
-                + (sx * my + sy * mx + sx * sy * m0) * _onehot16(10)
-                + (2.0 * sy * my + sy * sy * m0) * _onehot16(11))
-
-        # wait for the write that used this output slot two chunks ago
+        # this chunk's gbuf slot was DMA'd two chunks ago — wait before
+        # pass 2 stages the channel grads into it
         @pl.when(k >= 2)
         def _():
-            get_gdma(cur, k - 2).wait()
-        gbuf[cur, :, 0:ILANES] = conv
-        get_gdma(cur, k).start()
+            wait_gdma(cur, k - 2)
 
-        prefr[...] = prefr[...] + jnp.sum(m, axis=0, keepdims=True)
-        carry[...] = carry[...] + jnp.sum(logs, axis=0, keepdims=True)
+        # pass 2: transmittance, blend weights, γw row sums, dfeat staging
+        Msum = jnp.zeros((RPC_B, PIX), jnp.float32)
+        for phi in range(8):
+            alpha_v = av_s[phi]
+            p_exc = jnp.exp(run)
+            pe_s[phi] = p_exc
+            p_inc = p_exc * (1.0 - alpha_v)
+            w = jnp.where(p_inc >= T_STOP, alpha_v * p_exc, 0.0)
+            d = buf[cur][:, 16 * phi:16 * phi + 16]
+            m = gamma_of(d) * w
+            Msum = Msum + m
+            dfeat = jax.lax.dot_general(
+                w, gstack, (((1,), (1,)), ((), ())),
+                precision=_HIGHEST, preferred_element_type=jnp.float32)
+            gbuf[cur, pl.Slice(phi, RPC_B, 8), 0:ILANES] = dfeat
+            run = run + logs_s[phi]
+
+        runm = jax.lax.dot_general(
+            sltri, Msum, (((1,), (0,)), ((), ())),
+            precision=_HIGHEST, preferred_element_type=jnp.float32) \
+            + prefr[0:1, :]
+
+        # pass 3: suffix recovery, moment matmuls, in-kernel centering
+        for phi in range(8):
+            alpha_v = av_s[phi]
+            g_exp = ge_s[phi]
+            p_exc = pe_s[phi]
+            p_inc = p_exc * (1.0 - alpha_v)
+            applied = (alpha_v > 0.0) & (p_inc >= T_STOP)
+            d = buf[cur][:, 16 * phi:16 * phi + 16]
+            gamma = gamma_of(d)
+            w = jnp.where(applied, alpha_v * p_exc, 0.0)
+            m = gamma * w
+            pref = runm + m                    # inclusive global prefix
+            # suffix of γw strictly after i, plus the bg/final-T term
+            suffix = total - pref + gtt
+            dalpha = jnp.where(applied,
+                               gamma * p_exc - suffix / (1.0 - alpha_v),
+                               0.0)
+            x_mat = dalpha * g_exp             # (RPC_B,PIX)
+            mom = jax.lax.dot_general(
+                x_mat, basis, (((1,), (1,)), ((), ())),
+                precision=_HIGHEST, preferred_element_type=jnp.float32)
+            # shift tile-local moments into the gaussian's rounded-center
+            # frame (sx/sy ride the instance lanes) — reduction-ready rows
+            sx = d[:, 12:13]
+            sy = d[:, 13:14]
+            m0 = mom[:, 6:7]
+            mx = mom[:, 7:8]
+            my = mom[:, 8:9]
+            conv = (mom
+                    + (sx * m0) * _onehot16(7)
+                    + (sy * m0) * _onehot16(8)
+                    + (2.0 * sx * mx + sx * sx * m0) * _onehot16(9)
+                    + (sx * my + sy * mx + sx * sy * m0) * _onehot16(10)
+                    + (2.0 * sy * my + sy * sy * m0) * _onehot16(11))
+            gbuf[cur, pl.Slice(phi, RPC_B, 8), 0:ILANES] = (
+                gbuf[cur, pl.Slice(phi, RPC_B, 8), 0:ILANES] + conv)
+            runm = runm + m
+
+        start_gdma(cur, k)
+        prefr[...] = prefr[...] + jnp.sum(Msum, axis=0, keepdims=True)
+        carry[...] = carry[...] + jnp.sum(S, axis=0, keepdims=True)
         # alive while any pixel could still apply another gaussian — the
         # same early stop as the forward; later instances get zero grads
         return jnp.max(carry[0:1, :]) >= log_stop
@@ -482,23 +584,27 @@ def _bwd_kernel(tile_start, tile_count, inst_hbm, pix_ref, grad_hbm,
     # drain outstanding grad writes from the compute phase
     @pl.when(kf >= 2)
     def _():
-        get_gdma(jax.lax.rem(kf - 2, 2), kf - 2).wait()
+        wait_gdma(jax.lax.rem(kf - 2, 2), kf - 2)
     @pl.when(kf >= 1)
     def _():
-        get_gdma(jax.lax.rem(kf - 1, 2), kf - 1).wait()
+        wait_gdma(jax.lax.rem(kf - 1, 2), kf - 1)
     # drain an orphaned input prefetch from the early exit
     @pl.when(kf < nchunks)
     def _():
         get_dma(jax.lax.rem(kf, 2), kf).wait()
     # chunks skipped by the early exit still own output slots — their
-    # gradients are exactly zero, written without compute
+    # gradients are exactly zero, written without compute (kf >= 1 when
+    # nchunks >= 1, so no head-skip is ever needed here)
     @pl.when(kf < nchunks)
     def _():
-        gbuf[0] = jnp.zeros((CHUNK, LANES), jnp.float32)
+        gbuf[0] = jnp.zeros((CHUNK_B, LANES), jnp.float32)
         def zbody(k, _):
-            d = get_gdma(0, k)
-            d.start()
-            d.wait()
+            dz = pltpu.make_async_copy(
+                gbuf.at[0],
+                grad_hbm.at[pl.ds((r0 + k * RPC_B) * 8, CHUNK_B), :],
+                gsem.at[0])
+            dz.start()
+            dz.wait()
             return 0
         jax.lax.fori_loop(kf, nchunks, zbody, 0)
 
@@ -510,15 +616,16 @@ def _bwd_kernel(tile_start, tile_count, inst_hbm, pix_ref, grad_hbm,
     def _():
         cap_rows = grad_hbm.shape[0]
         end = start + count
-        gbuf[0] = jnp.zeros((CHUNK, LANES), jnp.float32)
-        gbuf[1] = jnp.zeros((CHUNK, LANES), jnp.float32)
+        gbuf[0] = jnp.zeros((CHUNK_B, LANES), jnp.float32)
+        gbuf[1] = jnp.zeros((CHUNK_B, LANES), jnp.float32)
 
         def zdma(s, j):
             return pltpu.make_async_copy(
-                gbuf.at[s], grad_hbm.at[pl.ds(end + j * CHUNK, CHUNK), :],
+                gbuf.at[s],
+                grad_hbm.at[pl.ds(end + j * CHUNK_B, CHUNK_B), :],
                 gsem.at[s])
 
-        nz = (cap_rows - end) // CHUNK
+        nz = (cap_rows - end) // CHUNK_B
         def zt(j, _):
             s = jax.lax.rem(j, 2)
             @pl.when(j >= 2)
@@ -537,7 +644,7 @@ def _bwd_kernel(tile_start, tile_count, inst_hbm, pix_ref, grad_hbm,
 
 def _run_backward(inst_packed, pix_tiles, tile_start, tile_count,
                   n_tiles: int, interpret: bool):
-    cap_pad = inst_packed.shape[0]           # capacity + PAD_SLOTS
+    cap_pad = inst_packed.shape[0] * 8       # instances incl. PAD_SLOTS
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(n_tiles,),
@@ -548,12 +655,16 @@ def _run_backward(inst_packed, pix_tiles, tile_start, tile_count,
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
-            pltpu.VMEM((2, CHUNK, LANES), jnp.float32),
-            pltpu.VMEM((2, CHUNK, LANES), jnp.float32),
+            pltpu.VMEM((2, RPC_B, LANES), jnp.float32),
+            pltpu.VMEM((2, CHUNK_B, LANES), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.VMEM((1, PIX), jnp.float32),
             pltpu.VMEM((1, PIX), jnp.float32),
+            pltpu.VMEM((8, RPC_B, PIX), jnp.float32),
+            pltpu.VMEM((8, RPC_B, PIX), jnp.float32),
+            pltpu.VMEM((8, RPC_B, PIX), jnp.float32),
+            pltpu.VMEM((8, RPC_B, PIX), jnp.float32),
         ],
     )
     return pl.pallas_call(
@@ -783,9 +894,13 @@ def _raster_bwd(width, height, interpret, res, g: TiledOut):
         per_gauss, mean2d, conic, op)
     # bg cotangent: out_color = C + T·bg  ⇒  d bg = Σ_p T_p · g_color_p
     d_bg = jnp.einsum('hw,chw->c', t_img, g_color)
-    # Binning holds integer index arrays — their cotangent is float0 zeros
+    # Binning holds integer index arrays (float0 cotangent) and possibly
+    # the f32 sorted attrs (true gradients flow through the analytic
+    # per-gaussian chain above, so the pass-through copy gets zeros)
     d_binning = jax.tree.map(
-        lambda x: np.zeros(x.shape, jax.dtypes.float0), binning)
+        lambda x: (np.zeros(x.shape, jax.dtypes.float0)
+                   if jnp.issubdtype(x.dtype, jnp.integer)
+                   else jnp.zeros(x.shape, x.dtype)), binning)
     return (d_mean2d, d_conic, d_op, d_col, d_depth, d_unc, d_binning, d_bg)
 
 
@@ -810,8 +925,10 @@ def render_tiled(means3d, scales, rots, colors, opacity, unc, camera, bg,
                         camera.width, camera.height, camera.tan_fovx,
                         camera.tan_fovy, scale_modifier,
                         tile_w=TILE_W, tile_h=TILE_H)
-    binning = bin_instances(splats, capacity, camera.width, camera.height,
-                            TILE_W, TILE_H)
+    binning = bin_instances(
+        splats, capacity, camera.width, camera.height, TILE_W, TILE_H,
+        attrs=gauss_attrs(splats.mean2d, splats.conic, opacity, colors,
+                          splats.depth, unc))
     out = rasterize_tiled(splats.mean2d, splats.conic, opacity, colors,
                           splats.depth, unc, binning, bg,
                           camera.width, camera.height, interpret)

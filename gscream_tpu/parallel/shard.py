@@ -151,7 +151,9 @@ def _band_bwd(width, height, n_bands, interpret, res, g: TiledOut):
     # transpose inserts the psum over TILE_AXIS for replicated inputs
     d_bg = jnp.einsum('hw,chw->c', t_img, g_color)
     d_binning = jax.tree.map(
-        lambda x: np.zeros(x.shape, jax.dtypes.float0), binning)
+        lambda x: (np.zeros(x.shape, jax.dtypes.float0)
+                   if jnp.issubdtype(x.dtype, jnp.integer)
+                   else jnp.zeros(x.shape, x.dtype)), binning)
     return (d_mean2d, d_conic, d_op, d_col, d_depth, d_unc, d_binning, d_bg)
 
 
@@ -168,8 +170,11 @@ def render_view_sharded(scaffold: ScaffoldState, camera: Camera, bg,
         camera.width, camera.height, camera.tan_fovx, camera.tan_fovy,
         tile_w=TILE_W, tile_h=TILE_H, active_mask=dec.active)
     gx, gy, gy_pad, _ = _band_geometry(camera.width, camera.height, n_bands)
-    binning = bin_instances(splats, capacity, camera.width, camera.height,
-                            TILE_W, TILE_H)
+    binning = bin_instances(
+        splats, capacity, camera.width, camera.height, TILE_W, TILE_H,
+        attrs=jax.lax.stop_gradient(rt.gauss_attrs(
+            splats.mean2d, splats.conic, dec.opacity, dec.color,
+            splats.depth, dec.uncertainty)))
     # pad the tile-range arrays to the banded grid
     pad_tiles = gy_pad * gx - gy * gx
     if pad_tiles:

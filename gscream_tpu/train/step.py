@@ -61,8 +61,13 @@ def render_from_params(params, mlps, scaffold: ScaffoldState, camera: Camera,
         camera.width, camera.height, camera.tan_fovx, camera.tan_fovy,
         tile_w=TILE_W, tile_h=TILE_H, active_mask=dec.active)
     mean2d = splats.mean2d + screen_zero
-    binning = bin_instances(splats, capacity, camera.width, camera.height,
-                            TILE_W, TILE_H, precise=precise_sort)
+    from ..ops.rasterize_tiled import gauss_attrs
+    binning = bin_instances(
+        splats, capacity, camera.width, camera.height, TILE_W, TILE_H,
+        precise=precise_sort,
+        attrs=jax.lax.stop_gradient(gauss_attrs(
+            mean2d, splats.conic, dec.opacity, dec.color, splats.depth,
+            dec.uncertainty)))
     out = rasterize_tiled(mean2d, splats.conic, dec.opacity, dec.color,
                           splats.depth, dec.uncertainty, binning, bg,
                           camera.width, camera.height, interpret)

@@ -11,7 +11,8 @@ from gscream_tpu.model.scaffold import ScaffoldConfig, decode, init_scaffold
 from gscream_tpu.ops.binning import bin_instances
 from gscream_tpu.ops.projection import preprocess
 from gscream_tpu.ops.rasterize_tiled import (
-    TILE_H, TILE_W, pack_instance_data, rasterize_tiled, _run_forward)
+    TILE_H, TILE_W, gauss_attrs, pack_instance_data, rasterize_tiled,
+    _run_forward)
 
 
 def timeit(f, *args, iters=5, label=""):
@@ -52,9 +53,11 @@ def main():
         active_mask=d.active))
     splats = timeit(pre_fn, dec, label="preprocess")
 
-    bin_fn = jax.jit(lambda s: bin_instances(s, capacity, width, height,
-                                             TILE_W, TILE_H))
-    binning = timeit(bin_fn, splats, label="binning (sort)")
+    bin_fn = jax.jit(lambda s, d: bin_instances(
+        s, capacity, width, height, TILE_W, TILE_H,
+        attrs=gauss_attrs(s.mean2d, s.conic, d.opacity, d.color, s.depth,
+                          d.uncertainty)))
+    binning = timeit(bin_fn, splats, dec, label="binning (sort+attrs)")
     print("instances:", int(binning.num_instances))
 
     gx = -(-width // TILE_W)
