@@ -308,7 +308,13 @@ def train_scene(views, ref_index: int, points: np.ndarray, run: RunConfig,
                           "total_points": anchors,
                           "instances": rec["n_inst"]})
         if callback is not None:
-            callback(it, ts_new, aux)
+            # callbacks may take (it, ts, aux) or (it, ts, aux, mlog) —
+            # the latter receives the metrics logger for TB image grids
+            import inspect
+            if len(inspect.signature(callback).parameters) >= 4:
+                callback(it, ts_new, aux, mlog)
+            else:
+                callback(it, ts_new, aux)
         return ts_new
 
     def save_ckpt(it: int):

@@ -36,6 +36,22 @@ class MetricsLogger:
             for k, v in scalars.items():
                 self._tb.add_scalar(k, float(v), step)
 
+    def log_images(self, step: int, images) -> None:
+        """TensorBoard image grids (reference training_report,
+        train.py:668-683: render vs GT vs error per eval view).
+
+        ``images``: dict name → (H,W,3) or (3,H,W) float [0,1] array.
+        No-op without TensorBoard (JSONL stays scalar-only).
+        """
+        if self._tb is None:
+            return
+        import numpy as np
+        for name, img in images.items():
+            arr = np.asarray(img)
+            if arr.ndim == 3 and arr.shape[0] not in (1, 3):
+                arr = arr.transpose(2, 0, 1)       # HWC → CHW
+            self._tb.add_image(name, np.clip(arr, 0.0, 1.0), step)
+
     def close(self) -> None:
         self._f.close()
         if self._tb is not None:

@@ -87,6 +87,11 @@ def render_set(out_dir: str, split_name: str, cameras: List[Camera],
         os.makedirs(rdir, exist_ok=True)
         os.makedirs(ddir, exist_ok=True)
 
+    is_spiral = split_name == "spiral"
+    ndir = os.path.join(out_dir, split_name, "normal")
+    if save_images and is_spiral:
+        os.makedirs(ndir, exist_ok=True)
+
     times, renders, counts = [], [], []
     for idx, cam in enumerate(cameras):
         t0 = time.time()
@@ -103,6 +108,19 @@ def render_set(out_dir: str, split_name: str, cameras: List[Camera],
             _save_png(os.path.join(ddir, f"{idx:05d}.png"), _viridis(depth))
             if split_name == "train":
                 np.save(os.path.join(ddir, f"{idx:05d}.npy"), depth)
+            if is_spiral:
+                # spiral-only normal maps from rendered depth
+                # (reference train.py:820-825 → 252-298)
+                w2c = np.asarray(cam.w2c)
+                c2w = np.linalg.inv(w2c)
+                fx = width / (2.0 * float(cam.tan_fovx))
+                fy = height / (2.0 * float(cam.tan_fovy))
+                K = np.array([[fx, 0, width / 2.0],
+                              [0, fy, height / 2.0],
+                              [0, 0, 1.0]])
+                nrm = normals_from_depth(depth, c2w, K)
+                _save_png(os.path.join(ndir, f"{idx:05d}.png"),
+                          (nrm.transpose(1, 2, 0) + 1.0) * 0.5)
             if gt_images is not None and idx < len(gt_images):
                 err = np.abs(img - gt_images[idx]).mean(0)
                 _save_png(os.path.join(out_dir, split_name,
@@ -115,6 +133,13 @@ def render_set(out_dir: str, split_name: str, cameras: List[Camera],
         with open(os.path.join(out_dir, split_name,
                                "per_view_count.json"), "w") as f:
             json.dump({f"{i:05d}": c for i, c in enumerate(counts)}, f)
+        if is_spiral and renders:
+            # the reference ffmpeg-encodes video.mp4 (train.py:844-846);
+            # no ffmpeg ships here, so mux MJPEG into an AVI natively
+            from ..utils.video import write_mjpeg_avi
+            write_mjpeg_avi(os.path.join(out_dir, split_name, "video.avi"),
+                            [r.transpose(1, 2, 0) for r in renders],
+                            fps=30)
     return {"fps": fps, "renders": renders, "visible_counts": counts}
 
 

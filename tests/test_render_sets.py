@@ -28,3 +28,30 @@ def test_normals_tilted_plane():
     n = normals_from_depth(depth, np.eye(4), K)
     inner = n[:, 8:-8, 8:-8]
     assert np.abs(inner[0]).mean() > 0.05  # x component engaged
+
+
+def test_spiral_render_set_outputs(tmp_path):
+    """Spiral split writes renders, depth, normal maps and an MJPEG AVI."""
+    import os
+    import jax
+    from gscream_tpu.data.synthetic import make_scene
+    from gscream_tpu.model.scaffold import ScaffoldConfig, init_scaffold
+    from gscream_tpu.train.render_sets import render_set
+
+    cfg = ScaffoldConfig(feat_dim=8, n_offsets=2, voxel_size=0.1,
+                         capacity=256)
+    scene = make_scene(n_views=3, n_gauss=60, width=64, height=64)
+    st = init_scaffold(jax.random.PRNGKey(0), scene.points, cfg)
+    cams = [v.camera for v in scene.views]
+    out = render_set(str(tmp_path), "spiral", cams, st, cfg,
+                     capacity=4096, interpret=True)
+    assert len(out["renders"]) == 3
+    for i in range(3):
+        assert os.path.exists(tmp_path / "spiral" / "renders"
+                              / f"{i:05d}.png")
+        assert os.path.exists(tmp_path / "spiral" / "normal"
+                              / f"{i:05d}.png")
+    avi = tmp_path / "spiral" / "video.avi"
+    data = avi.read_bytes()
+    assert data[:4] == b"RIFF" and data[8:12] == b"AVI "
+    assert data.count(b"00dc") == 2 * 3          # movi chunks + idx1 rows

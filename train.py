@@ -70,6 +70,12 @@ def parse_args():
                         "--start_checkpoint, train.py:618-620)")
     p.add_argument("--checkpoint_interval", type=int, default=0,
                    help="autosave the full train state every N iterations")
+    # multi-host bring-up (SURVEY §7 step 7): start one process per host
+    # with identical flags; see gscream_tpu/parallel/distributed.py
+    p.add_argument("--dist_coordinator", default="",
+                   help="host:port of process 0 (enables multi-host mode)")
+    p.add_argument("--dist_nprocs", type=int, default=1)
+    p.add_argument("--dist_pid", type=int, default=0)
     return p.parse_args()
 
 
@@ -84,6 +90,13 @@ def _enable_compile_cache():
 def main():
     _enable_compile_cache()
     args = parse_args()
+    if args.dist_coordinator:
+        # must run before any other jax call registers the backend
+        from gscream_tpu.parallel.distributed import (init_distributed,
+                                                      process_info)
+        init_distributed(args.dist_coordinator, args.dist_nprocs,
+                         args.dist_pid)
+        print("distributed:", process_info())
     from gscream_tpu.config import ModelConfig, OptimConfig, RunConfig, \
         save_config
     from gscream_tpu.train.loop import get_logger, train_scene
@@ -159,7 +172,7 @@ def main():
 
     # in-training eval at test_iterations (reference training_report,
     # train.py:655-695)
-    def eval_callback(it, ts, aux):
+    def eval_callback(it, ts, aux, mlog=None):
         if it not in run.test_iterations or not test_views:
             return
         import jax.numpy as jnp
@@ -178,15 +191,29 @@ def main():
                             args.instance_capacity)
         # full split, like the reference's training_report (train.py:655-695)
         vals = []
-        for v in test_views:
+        for vi, v in enumerate(test_views):
             if v.image is None:
                 continue
             out, _ = rf(ts.scaffold.params, ts.scaffold.mlps, v.camera)
-            vals.append(float(psnr(out.color.transpose(2, 0, 1),
-                                   jnp.asarray(v.image))))
+            render_chw = out.color.transpose(2, 0, 1)
+            vals.append(float(psnr(render_chw, jnp.asarray(v.image))))
+            if mlog is not None and vi < 5:
+                # TB image grids: render / GT / error for the first views
+                # (reference training_report images, train.py:668-683)
+                rnp = np.asarray(render_chw)
+                gnp = np.asarray(v.image)
+                mlog.log_images(it, {
+                    f"test_view_{vi}/render": rnp,
+                    f"test_view_{vi}/errormap": np.repeat(
+                        np.abs(rnp - gnp).mean(0, keepdims=True), 3, 0),
+                    **({f"test_view_{vi}/ground_truth": gnp}
+                       if it == run.test_iterations[0] else {}),
+                })
         if vals:
             logger.info("[ITER %d] test PSNR %.3f", it,
                         sum(vals) / len(vals))
+            if mlog is not None:
+                mlog.log(it, {"test_psnr": sum(vals) / len(vals)})
 
     ts, log = train_scene(
         views, ref_index, points, run, out_dir=args.model_path,
