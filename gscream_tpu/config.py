@@ -83,6 +83,12 @@ class OptimConfig:
     crossattn_lr_delay_mult: float = 0.01
     crossattn_lr_max_steps: int = 30_000
     lambda_dssim: float = 0.2
+    # selective mixed precision for the RGB loss head (L1 + SSIM maps run
+    # in bf16, reductions accumulate f32; depth's scale/shift fit and the
+    # whole render path stay fp32 — see gscream_tpu/precision.py for why
+    # blanket bf16 is unsafe).  "float32" (default) is bit-identical to
+    # round 1.
+    loss_dtype: str = "float32"
     # densification schedule (run.py: start_stat 500, update 1500→15000/100)
     start_stat: int = 500
     update_from: int = 1_500

@@ -22,11 +22,14 @@ import jax.numpy as jnp
 
 
 def l1_loss(pred, gt):
-    return jnp.mean(jnp.abs(pred - gt))
+    # f32 accumulation: correct under the selective-bf16 loss path, free
+    # under fp32
+    return jnp.mean(jnp.abs(pred - gt), dtype=jnp.float32)
 
 
 def l1_loss_masked(pred, gt, mask):
-    return jnp.mean(jnp.abs(pred - gt) * mask)
+    return jnp.mean(jnp.abs(pred - gt) * mask.astype(pred.dtype),
+                    dtype=jnp.float32)
 
 
 def l2_loss(pred, gt):

@@ -38,8 +38,9 @@ def _filter2d(img: jnp.ndarray, k1d: np.ndarray, padding: str) -> jnp.ndarray:
         pad = "VALID"
     else:
         pad = [(half, half), (half, half)]
-    kh = jnp.asarray(k1d).reshape(1, 1, -1, 1)
-    kv = jnp.asarray(k1d).reshape(1, 1, 1, -1)
+    # kernel follows the image dtype so a bf16 fast path stays bf16
+    kh = jnp.asarray(k1d, img.dtype).reshape(1, 1, -1, 1)
+    kv = jnp.asarray(k1d, img.dtype).reshape(1, 1, 1, -1)
     dn = jax.lax.conv_dimension_numbers(x.shape, (1, 1, len(k1d), 1),
                                         ("NCHW", "OIHW", "NCHW"))
     ph = pad if pad == "VALID" else [pad[0], (0, 0)]
@@ -72,7 +73,7 @@ def ssim(img1: jnp.ndarray, img2: jnp.ndarray,
          window_size: int = 11) -> jnp.ndarray:
     """Training SSIM (loss_utils.py:139-168), zero padding, mean reduce."""
     m = _ssim_map(img1, img2, window_size, 1.5, "zero", 0.01 ** 2, 0.03 ** 2)
-    return jnp.mean(m)
+    return jnp.mean(m, dtype=jnp.float32)   # f32 accumulation under bf16
 
 
 def ssim_masked(img1: jnp.ndarray, img2: jnp.ndarray, mask: jnp.ndarray,
@@ -80,7 +81,7 @@ def ssim_masked(img1: jnp.ndarray, img2: jnp.ndarray, mask: jnp.ndarray,
     """Masked training SSIM (loss_utils.py:172-199): map·mask then mean
     over *all* pixels (the reference's normalization)."""
     m = _ssim_map(img1, img2, window_size, 1.5, "zero", 0.01 ** 2, 0.03 ** 2)
-    return jnp.mean(m * mask)
+    return jnp.mean(m * mask.astype(m.dtype), dtype=jnp.float32)
 
 
 def kornia_ssim_map(img1, img2, window_size: int = 5,

@@ -142,8 +142,18 @@ def sample_cross_tokens(key, pos_x, pos_y, visible, alive, gt_mask,
 
 def loss_terms(out, gt_image, gt_mask, midas_depth, fg_box_mask,
                opt: OptimConfig, is_ref: bool):
-    """RGB + depth losses (train.py:535-573).  Images are (C,H,W)."""
+    """RGB + depth losses (train.py:535-573).  Images are (C,H,W).
+
+    ``opt.loss_dtype == "bfloat16"`` runs the RGB L1/SSIM maps in bf16
+    (halves the loss head's HBM traffic; reductions stay f32 — see
+    OptimConfig).  The depth terms keep fp32: their closed-form
+    scale/shift fit solves normal equations that cancel catastrophically
+    in bf16.
+    """
     img = out.color.transpose(2, 0, 1)
+    if opt.loss_dtype == "bfloat16":
+        img = img.astype(jnp.bfloat16)
+        gt_image = gt_image.astype(jnp.bfloat16)
     if is_ref:
         l1 = L.l1_loss(img, gt_image)
         loss = opt.refer_rgb_lr * ((1 - opt.lambda_dssim) * l1

@@ -51,6 +51,11 @@ def parse_args():
                  "crossattn_lr_final", "enable_crossattn_refview",
                  "enable_crossattn_otherview"):
         p.add_argument(f"--{name}", type=float, default=getattr(d, name))
+    p.add_argument("--loss_dtype", default="float32",
+                   choices=["float32", "bfloat16"],
+                   help="RGB loss-head precision (bf16 fast path keeps "
+                        "depth fit + render path fp32; parity-gated in "
+                        "tests/test_bf16_losses.py)")
     p.add_argument("--anchor_capacity", type=int, default=1 << 17)
     p.add_argument("--instance_capacity", type=int, default=1 << 20)
     p.add_argument("--seed", type=int, default=0)
@@ -131,7 +136,8 @@ def main():
             crossattn_lr_init=args.crossattn_lr_init,
             crossattn_lr_final=args.crossattn_lr_final,
             enable_crossattn_refview=args.enable_crossattn_refview,
-            enable_crossattn_otherview=args.enable_crossattn_otherview),
+            enable_crossattn_otherview=args.enable_crossattn_otherview,
+            loss_dtype=args.loss_dtype),
         seed=args.seed)
     os.makedirs(args.model_path, exist_ok=True)
     save_config(run, os.path.join(args.model_path, "cfg.json"))
