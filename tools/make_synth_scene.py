@@ -180,17 +180,35 @@ def rotmat2qvec(R):
     return q * np.sign(q[0] + (q[0] == 0))
 
 
+def _eye_at(t):
+    ang = (t - 0.5) * 2.0 * np.pi * 0.9
+    return np.array([1.1 * np.sin(ang),
+                     1.15 + 0.35 * np.sin(2.3 * ang),
+                     0.45 * (1 - np.cos(ang))])
+
+
 def camera_path(n=N_FRAMES):
-    """Forward-facing LLFF-style sweep; returns list of (R_w2c, t_w2c)."""
+    """Forward-facing LLFF-style sweep; returns list of (R_w2c, t_w2c).
+
+    SPIN-NeRF captures the SAME forward-facing trajectory twice — once
+    with the object (train frames, sorted indices >= 40) and once without
+    (the 40 test frames) — so the first 40 poses here revisit the train
+    sweep with a small hand-held jitter rather than occupying a disjoint
+    half of the arc (dataset_readers.py:117 split semantics; a disjoint
+    split makes test views unconstrained novel views, which is not the
+    benchmark).
+    """
     target = np.array([0.0, 1.1, 6.5])
+    n_train = n - 40
+    train_ts = [i / (n_train - 1) for i in range(n_train)]
+    rng = np.random.default_rng(123)
     out = []
-    for i in range(n):
-        t = i / (n - 1)
-        ang = (t - 0.5) * 2.0 * np.pi * 0.9
-        eye = np.array([1.1 * np.sin(ang),
-                        1.15 + 0.35 * np.sin(2.3 * ang),
-                        0.45 * (1 - np.cos(ang))])
+    for i in range(40):                        # test pass (object-free)
+        t = train_ts[int(round(i * (n_train - 1) / 39))]
+        eye = _eye_at(t) + rng.normal(0, 0.015, 3)
         out.append(look_at_w2c(eye, target))
+    for t in train_ts:                         # train pass (with object)
+        out.append(look_at_w2c(_eye_at(t), target))
     return out
 
 
