@@ -90,8 +90,15 @@ def cameras_extent(w2cs: List[np.ndarray]) -> float:
 def load_spinnerf_scene(source_path: str,
                         specified_ply_path: str = "",
                         load_images: bool = True,
-                        n_spiral: int = 120) -> SceneData:
-    """Read one SPIN-NeRF scene laid out as the reference expects."""
+                        n_spiral: int = 120,
+                        resolution: int = -1) -> SceneData:
+    """Read one SPIN-NeRF scene laid out as the reference expects.
+
+    ``resolution`` is the reference's ``-r`` flag applied to the loaded
+    ``images_4`` frames: 1/2/4/8 divide the stored size, -1 (default)
+    auto-downscales only frames wider than 1600 px
+    (utils/camera_utils.py:19-58 policy).
+    """
     cams, images, points = read_model(
         os.path.join(source_path, "sparse/0"))
 
@@ -128,6 +135,10 @@ def load_spinnerf_scene(source_path: str,
         wh = None
         if load_images and os.path.exists(img_path):
             image = _load_image(img_path)
+            th, tw = _target_resolution(image.shape[2], image.shape[1],
+                                        resolution)
+            if (th, tw) != image.shape[1:]:
+                image = _resize_image(image, (th, tw))
             wh = (image.shape[2], image.shape[1])
             mask_train = os.path.join(source_path, "lama_input",
                                       base + "_mask.png")
@@ -141,6 +152,8 @@ def load_spinnerf_scene(source_path: str,
                                  base + "_pred.npy")
             if os.path.exists(dpath):
                 depth = np.load(dpath).astype(np.float32)[None]
+                if depth.shape[1:] != image.shape[1:]:
+                    depth = _resize_nearest(depth, image.shape[1:])
         vw, vh = wh if wh else (W // 4, H // 4)
         cam = make_camera(R, T, fov_x, fov_y, vw, vh, cx, cy)
         view = View(camera=cam, image=image, mask=mask, depth=depth,
@@ -188,3 +201,36 @@ def _resize_nearest(arr: np.ndarray, hw) -> np.ndarray:
     yi = (np.arange(th) * h / th).astype(int).clip(0, h - 1)
     xi = (np.arange(tw) * w / tw).astype(int).clip(0, w - 1)
     return arr[:, yi][:, :, xi]
+
+
+def _resize_image(img: np.ndarray, hw) -> np.ndarray:
+    """(3,H,W) float resize via PIL (the reference's PILtoTorch path,
+    utils/camera_utils.py + general_utils.py:23-31)."""
+    from PIL import Image
+    th, tw = hw
+    u8 = (np.clip(img, 0, 1).transpose(1, 2, 0) * 255).astype(np.uint8)
+    r = Image.fromarray(u8).resize((tw, th), Image.LANCZOS)
+    return (np.asarray(r, np.float32) / 255.0).transpose(2, 0, 1)
+
+
+def _target_resolution(w: int, h: int, resolution: int,
+                       _warned=[False]) -> tuple:
+    """The reference's ``-r`` policy (utils/camera_utils.py:19-58).
+
+    ``resolution`` in {1,2,4,8}: divide by it.  ``-1`` (default): leave
+    images alone unless width exceeds 1600 px, then downscale to 1600
+    (with the reference's one-time warning).
+    """
+    if resolution in (1, 2, 4, 8):
+        scale = float(resolution)
+    else:
+        if w > 1600:
+            if not _warned[0]:
+                print("[ INFO ] Encountered quite large input images "
+                      "(>1.6K pixels width), rescaling to 1.6K.\n If this "
+                      "is not desired, please explicitly specify '--resolution/-r' as 1")
+                _warned[0] = True
+            scale = w / 1600.0
+        else:
+            scale = 1.0
+    return round(h / scale), round(w / scale)

@@ -42,7 +42,9 @@ def main():
             "--iterations", "30000",
             "--start_crossattn_from", "15000",
             "--crossattn_feat_update_ema", "0.03",
-        ]
+            "--render_spiral",
+            "--checkpoint_interval", "5000",
+        ] + sys.argv[4:]   # extra train.py flags pass through verbatim
         log = os.path.join("log_training", f"{scene}_{stamp}.log")
         print(" ".join(cmd), "->", log)
         with open(log, "w") as f:

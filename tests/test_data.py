@@ -94,3 +94,43 @@ def test_spinnerf_reader_minimal(tmp_path):
     assert sd.cameras_extent > 0
     # NDC principal point from SIMPLE_RADIAL params
     assert abs(sd.cx_ndc - ((500 - 500) / 1000 * 2)) < 1e-9
+
+
+def _write_scene_with_images(tmp_path, w=64, h=40):
+    import imageio.v2 as imageio
+    src = str(tmp_path / "scene")
+    _write_minimal_colmap(os.path.join(src, "sparse", "0"))
+    os.makedirs(os.path.join(src, "images"), exist_ok=True)
+    os.makedirs(os.path.join(src, "images_4"), exist_ok=True)
+    rng = np.random.default_rng(0)
+    for i in range(3):
+        open(os.path.join(src, "images", f"IMG_{i:04d}.jpg"), "wb").close()
+        img = (rng.uniform(0, 1, (h, w, 3)) * 255).astype(np.uint8)
+        imageio.imwrite(os.path.join(src, "images_4", f"IMG_{i:04d}.png"),
+                        img)
+    return src
+
+
+def test_resolution_policy_divides(tmp_path):
+    """-r 2 halves the stored frames (utils/camera_utils.py:19-58)."""
+    from gscream_tpu.data.dataset import load_spinnerf_scene
+    src = _write_scene_with_images(tmp_path)
+    sd = load_spinnerf_scene(src, resolution=2)
+    v = (sd.train_views + sd.test_views)[0]
+    assert v.image.shape == (3, 20, 32)
+    assert v.camera.width == 32 and v.camera.height == 20
+
+
+def test_resolution_policy_auto_1600(tmp_path):
+    """-r -1 leaves small frames alone and caps >1600px width to 1600."""
+    from gscream_tpu.data.dataset import load_spinnerf_scene
+    src = _write_scene_with_images(tmp_path, w=64, h=40)
+    sd = load_spinnerf_scene(src, resolution=-1)
+    v = (sd.train_views + sd.test_views)[0]
+    assert v.image.shape == (3, 40, 64)        # untouched below 1600
+
+    src2 = _write_scene_with_images(tmp_path / "big", w=2000, h=1000)
+    sd2 = load_spinnerf_scene(src2, resolution=-1)
+    v2 = (sd2.train_views + sd2.test_views)[0]
+    assert v2.image.shape == (3, 800, 1600)    # scaled to 1600 wide
+    assert v2.camera.width == 1600

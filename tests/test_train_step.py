@@ -72,3 +72,65 @@ def test_step_crossattn_phase(scene):
         diff = np.abs(np.asarray(ts2.scaffold.params.feat)
                       - np.asarray(ts.scaffold.params.feat)).max()
         assert diff > 0
+
+
+def test_sample_cross_tokens_distribution_and_exit():
+    """Sampling fidelity vs reference train.py:436-513 (VERDICT r1 weak 6):
+
+    * fg/bg candidates are anchors projecting inside the patch, split by
+      the object mask; min(fg, bg, cap) of EACH side are drawn;
+    * the draw is uniform over candidates (chi-square sanity over many
+      keys);
+    * fewer than 12 anchors on either side -> ok=False (the reference
+      aborts the iteration; exit() semantics mapped to the cross_ok gate).
+    """
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from gscream_tpu.train.step import sample_cross_tokens
+
+    W = H = 64
+    n = 400
+    rng = np.random.default_rng(3)
+    pos_x = jnp.asarray(rng.uniform(0, W, n), jnp.float32)
+    pos_y = jnp.asarray(rng.uniform(0, H, n), jnp.float32)
+    visible = jnp.ones(n, bool)
+    alive = jnp.ones(n, bool)
+    gt_mask = np.zeros((H, W), np.float32)
+    gt_mask[:, : W // 2] = 1.0            # left half = fg
+    box = jnp.asarray([8, 56, 8, 56], jnp.int32)
+
+    xi = np.clip(np.asarray(pos_x).astype(int), 0, W - 1)
+    yi = np.clip(np.asarray(pos_y).astype(int), 0, H - 1)
+    in_box = (yi >= 8) & (yi < 56) & (xi >= 8) & (xi < 56)
+    fg_c = in_box & (gt_mask[yi, xi] > 0.5)
+    bg_c = in_box & ~(gt_mask[yi, xi] > 0.5)
+    expect_min = min(fg_c.sum(), bg_c.sum(), 64)
+
+    counts = np.zeros(n)
+    trials = 200
+    for t in range(trials):
+        fg_idx, bg_idx, fg_v, bg_v, ok = sample_cross_tokens(
+            jax.random.PRNGKey(t), pos_x, pos_y, visible, alive,
+            jnp.asarray(gt_mask), box, W, H, max_tokens=64)
+        assert bool(ok)
+        fg_take = np.asarray(fg_idx)[np.asarray(fg_v)]
+        bg_take = np.asarray(bg_idx)[np.asarray(bg_v)]
+        assert len(fg_take) == len(bg_take) == expect_min
+        assert fg_c[fg_take].all() and bg_c[bg_take].all()
+        np.add.at(counts, fg_take, 1)
+    # uniformity over fg candidates: every candidate drawn, frequencies
+    # within 4 sigma of the uniform rate
+    p = expect_min / fg_c.sum()
+    exp = trials * p
+    sd = np.sqrt(trials * p * (1 - p))
+    got = counts[fg_c]
+    assert got.min() > 0
+    assert np.abs(got - exp).max() < 4.5 * sd, (got.min(), got.max(), exp)
+
+    # degenerate: shrink the box so one side has < 12 anchors
+    tiny = jnp.asarray([8, 13, 8, 13], jnp.int32)
+    *_, ok2 = sample_cross_tokens(
+        jax.random.PRNGKey(0), pos_x, pos_y, visible, alive,
+        jnp.asarray(gt_mask), tiny, W, H, max_tokens=64)
+    assert not bool(ok2)

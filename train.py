@@ -56,6 +56,10 @@ def parse_args():
                    help="RGB loss-head precision (bf16 fast path keeps "
                         "depth fit + render path fp32; parity-gated in "
                         "tests/test_bf16_losses.py)")
+    p.add_argument("-r", "--resolution", type=int, default=-1,
+                   help="image downscale: 1/2/4/8 divide the stored "
+                        "frames, -1 auto-limits width to 1600px "
+                        "(reference utils/camera_utils.py:19-58)")
     p.add_argument("--anchor_capacity", type=int, default=1 << 17)
     p.add_argument("--instance_capacity", type=int, default=1 << 20)
     p.add_argument("--seed", type=int, default=0)
@@ -156,7 +160,8 @@ def main():
     else:
         from gscream_tpu.data.dataset import load_spinnerf_scene
         sd = load_spinnerf_scene(args.source_path,
-                                 args.specified_ply_path)
+                                 args.specified_ply_path,
+                                 resolution=args.resolution)
         views = sd.train_views
         ref_index = next((i for i, v in enumerate(views)
                           if v.name == sd.ref_name), 0)
