@@ -77,25 +77,41 @@ def build_scene(rng):
     is x-right / y-down / z-forward; colors stay in [0,1]).
     """
     parts = []
-    # floor y=0, x in [-4,4], z in [3,11]
+    # the room is CLOSED for every forward-facing camera ray (floor, back
+    # wall, both side walls, ceiling): real SPIN-NeRF photos cover every
+    # pixel, and an uncovered (background-colored) region puts a hard
+    # floor under the RGB loss that no amount of training can cross
+    # floor y=0, x in [-4.5,4.5], z in [1.5,11]
     parts.append(_surface(
-        rng, 42000,
-        lambda u: np.stack([u[:, 0] * 8 - 4, np.zeros(len(u)),
-                            u[:, 1] * 8 + 3], 1),
+        rng, 46000,
+        lambda u: np.stack([u[:, 0] * 9 - 4.5, np.zeros(len(u)),
+                            u[:, 1] * 9.5 + 1.5], 1),
         lambda p: _checker(p, (0, 2), 0.8, [0.72, 0.62, 0.50],
                            [0.35, 0.28, 0.22])))
-    # back wall z=11, x in [-4,4], y in [0,4.5]
+    # back wall z=11, x in [-4.5,4.5], y in [0,5.2]
     parts.append(_surface(
-        rng, 36000,
-        lambda u: np.stack([u[:, 0] * 8 - 4, u[:, 1] * 4.5,
+        rng, 40000,
+        lambda u: np.stack([u[:, 0] * 9 - 4.5, u[:, 1] * 5.2,
                             np.full(len(u), 11.0)], 1),
         lambda p: _noise_color(rng, p, [0.55, 0.62, 0.72])))
     # left wall x=-4
     parts.append(_surface(
-        rng, 26000,
-        lambda u: np.stack([np.full(len(u), -4.0), u[:, 1] * 4.5,
-                            u[:, 0] * 8 + 3], 1),
+        rng, 28000,
+        lambda u: np.stack([np.full(len(u), -4.0), u[:, 1] * 5.2,
+                            u[:, 0] * 9.5 + 1.5], 1),
         lambda p: _noise_color(rng, p, [0.68, 0.55, 0.45])))
+    # right wall x=+4
+    parts.append(_surface(
+        rng, 28000,
+        lambda u: np.stack([np.full(len(u), 4.0), u[:, 1] * 5.2,
+                            u[:, 0] * 9.5 + 1.5], 1),
+        lambda p: _noise_color(rng, p, [0.48, 0.58, 0.50])))
+    # ceiling y=5.0, x in [-4.5,4.5], z in [1.5,11]
+    parts.append(_surface(
+        rng, 34000,
+        lambda u: np.stack([u[:, 0] * 9 - 4.5, np.full(len(u), 5.0),
+                            u[:, 1] * 9.5 + 1.5], 1),
+        lambda p: _noise_color(rng, p, [0.80, 0.80, 0.78], amp=0.06)))
     # table: box top y=1.0, x in [-1,1], z in [5.5,7]
     parts.append(_surface(
         rng, 16000,
