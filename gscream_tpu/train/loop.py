@@ -155,7 +155,9 @@ def train_scene(views, ref_index: int, points: np.ndarray, run: RunConfig,
     if logger is None:
         logger = get_logger(out_dir or ".")
     from .metrics_log import MetricsLogger
-    mlog = MetricsLogger(out_dir or ".")
+    mlog = MetricsLogger(out_dir or ".",
+                         wandb_project=os.environ.get(
+                             "GSCREAM_WANDB_PROJECT", ""))
 
     start_it = 1
     if start_checkpoint:

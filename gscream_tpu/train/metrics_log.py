@@ -15,7 +15,8 @@ from typing import Dict, Optional
 
 
 class MetricsLogger:
-    def __init__(self, out_dir: str, tensorboard: bool = True):
+    def __init__(self, out_dir: str, tensorboard: bool = True,
+                 wandb_project: str = ""):
         os.makedirs(out_dir, exist_ok=True)
         self._f = open(os.path.join(out_dir, "metrics.jsonl"), "a")
         self._tb = None
@@ -25,6 +26,19 @@ class MetricsLogger:
                 self._tb = SummaryWriter(os.path.join(out_dir, "tb"))
             except Exception:
                 self._tb = None
+        # optional wandb mirror (reference train.py:309-330 wandb.init +
+        # wandb.log); import-guarded — the package is absent in this
+        # image, so this is a no-op unless the user installs it
+        self._wandb = None
+        if wandb_project:
+            try:
+                import wandb
+                self._wandb = wandb
+                wandb.init(project=wandb_project,
+                           name=os.path.basename(out_dir.rstrip("/")),
+                           dir=out_dir)
+            except Exception:
+                self._wandb = None
         self._t0 = time.time()
 
     def log(self, step: int, scalars: Dict[str, float]) -> None:
@@ -35,6 +49,8 @@ class MetricsLogger:
         if self._tb is not None:
             for k, v in scalars.items():
                 self._tb.add_scalar(k, float(v), step)
+        if self._wandb is not None:
+            self._wandb.log(dict(scalars), step=step)
 
     def log_images(self, step: int, images) -> None:
         """TensorBoard image grids (reference training_report,
@@ -56,3 +72,5 @@ class MetricsLogger:
         self._f.close()
         if self._tb is not None:
             self._tb.close()
+        if self._wandb is not None:
+            self._wandb.finish()

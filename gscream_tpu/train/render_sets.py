@@ -70,6 +70,17 @@ def _viridis(depth: np.ndarray) -> np.ndarray:
         return np.stack([d, d, d], -1)
 
 
+def _inferno(depth: np.ndarray) -> np.ndarray:
+    """Spiral depth colormap: max-normalize then INFERNO, matching
+    reference train.py:806-809 (cv2.COLORMAP_INFERNO)."""
+    d = depth / max(depth.max(), 1e-9)
+    try:
+        import matplotlib.cm as cm
+        return np.asarray(cm.inferno(d))[..., :3]
+    except Exception:
+        return np.stack([d, d, d], -1)
+
+
 def render_set(out_dir: str, split_name: str, cameras: List[Camera],
                scaffold: ScaffoldState, cfg: ScaffoldConfig,
                capacity: int = 1 << 21, save_images: bool = True,
@@ -105,7 +116,8 @@ def render_set(out_dir: str, split_name: str, cameras: List[Camera],
             _save_png(os.path.join(rdir, f"{idx:05d}.png"),
                       np.asarray(out.color))
             depth = np.asarray(out.depth)
-            _save_png(os.path.join(ddir, f"{idx:05d}.png"), _viridis(depth))
+            _save_png(os.path.join(ddir, f"{idx:05d}.png"),
+                      _inferno(depth) if is_spiral else _viridis(depth))
             if split_name == "train":
                 np.save(os.path.join(ddir, f"{idx:05d}.npy"), depth)
             if is_spiral:

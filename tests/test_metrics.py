@@ -68,3 +68,35 @@ def test_evaluate_pairs_runs(rng):
     res = evaluate_pairs(a, b, masks)
     assert "PSNR" in res["summary"] and "SSIM" in res["summary"]
     assert res["summary"]["PSNR"] > 20
+
+
+def test_code_snapshot(tmp_path):
+    """saveRuntimeCode equivalent: zip of the source tree + git head."""
+    import zipfile
+    from gscream_tpu.utils.snapshot import save_runtime_code
+    p = save_runtime_code(str(tmp_path))
+    with zipfile.ZipFile(p) as z:
+        names = z.namelist()
+    assert "train.py" in names
+    assert any(n.startswith("gscream_tpu/") for n in names)
+    assert "GIT_HEAD" in names
+
+
+def test_wandb_mirror_with_fake_module(tmp_path, monkeypatch):
+    """The wandb mirror calls init/log/finish when the package imports."""
+    import sys
+    import types
+    calls = []
+    fake = types.ModuleType("wandb")
+    fake.init = lambda **kw: calls.append(("init", kw["project"]))
+    fake.log = lambda d, step=None: calls.append(("log", step, dict(d)))
+    fake.finish = lambda: calls.append(("finish",))
+    monkeypatch.setitem(sys.modules, "wandb", fake)
+    from gscream_tpu.train.metrics_log import MetricsLogger
+    m = MetricsLogger(str(tmp_path), tensorboard=False,
+                      wandb_project="gscream")
+    m.log(5, {"loss": 1.0})
+    m.close()
+    assert ("init", "gscream") in calls
+    assert ("log", 5, {"loss": 1.0}) in calls
+    assert ("finish",) in calls

@@ -146,6 +146,12 @@ def main():
     os.makedirs(args.model_path, exist_ok=True)
     save_config(run, os.path.join(args.model_path, "cfg.json"))
     logger = get_logger(args.model_path)
+    # run code-backup (reference saveRuntimeCode, train.py:1053-1064)
+    from gscream_tpu.utils.snapshot import save_runtime_code
+    try:
+        save_runtime_code(args.model_path)
+    except Exception as e:           # never let bookkeeping kill a run
+        logger.warning("code snapshot failed: %s", e)
 
     if args.synthetic:
         from gscream_tpu.data.synthetic import make_scene
