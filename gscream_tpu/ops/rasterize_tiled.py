@@ -243,7 +243,7 @@ def _phi_blend(d, xr, yr, slot_valid):
 # forward kernel
 
 def _fwd_kernel(tile_start, tile_count, inst_hbm, out_ref, buf, sem,
-                carry, tmin, logs_s, av_s):
+                carry, tmin, av_s):
     """Packed-row forward: one chunk = RPC_F rows × 8 φ-lane-groups.
 
     The global blend order is row-major, φ-minor (instance = 8·row + φ),
@@ -295,7 +295,6 @@ def _fwd_kernel(tile_start, tile_count, inst_hbm, out_ref, buf, sem,
             idx = base + ri * 8 + phi
             slot_valid = (idx >= start) & (idx < start + count)
             alpha_v, logs, _ = _phi_blend(d, xr, yr, slot_valid)
-            logs_s[phi] = logs
             av_s[phi] = alpha_v
             S = S + logs
 
@@ -305,10 +304,13 @@ def _fwd_kernel(tile_start, tile_count, inst_hbm, out_ref, buf, sem,
             precision=_HIGHEST, preferred_element_type=jnp.float32) \
             + carry[0:1, :]
 
-        # pass 2: blend in global order, maintaining the φ running sum
+        # pass 2: blend in global order.  T before instance (r, φ) is
+        # maintained as a running product p_exc ← p_exc·(1-α) — the exact
+        # CUDA recurrence (forward.cu:497) — so only the scan output needs
+        # one exp per chunk instead of one per φ step
+        p_exc = jnp.exp(run)                   # T before each row's φ=0
         for phi in range(8):
             alpha_v = av_s[phi]
-            p_exc = jnp.exp(run)               # T before this instance
             p_inc = p_exc * (1.0 - alpha_v)    # T after (division-free)
             w = jnp.where(p_inc >= T_STOP, alpha_v * p_exc, 0.0)
             d = buf[cur][:, 16 * phi:16 * phi + 16]
@@ -321,7 +323,7 @@ def _fwd_kernel(tile_start, tile_count, inst_hbm, out_ref, buf, sem,
                 tmin[...],
                 jnp.min(jnp.where(p_inc >= T_STOP, p_inc, 1.0), axis=0,
                         keepdims=True))
-            run = run + logs_s[phi]
+            p_exc = p_inc
 
         carry[...] = carry[...] + jnp.sum(S, axis=0, keepdims=True)
         # alive while any pixel's transmittance can still exceed the stop
@@ -359,7 +361,6 @@ def _run_forward(inst_packed, tile_start, tile_count, n_tiles: int,
             pltpu.VMEM((1, PIX), jnp.float32),
             pltpu.VMEM((1, PIX), jnp.float32),
             pltpu.VMEM((8, RPC_F, PIX), jnp.float32),
-            pltpu.VMEM((8, RPC_F, PIX), jnp.float32),
         ],
     )
     return pl.pallas_call(
@@ -375,7 +376,7 @@ def _run_forward(inst_packed, tile_start, tile_count, n_tiles: int,
 
 def _bwd_kernel(tile_start, tile_count, inst_hbm, pix_ref, grad_hbm,
                 buf, gbuf, sem, gsem, carry, prefr,
-                logs_s, av_s, ge_s, pe_s):
+                av_s, ge_s, pe_s):
     """pix_ref rows: [g_r, g_g, g_b, g_depth, g_unc, Total, gTT, 0].
 
     Packed-row backward in three φ passes per chunk (RPC_B rows × 8 φ):
@@ -489,7 +490,6 @@ def _bwd_kernel(tile_start, tile_count, inst_hbm, pix_ref, grad_hbm,
             idx = base + ri * 8 + phi
             slot_valid = (idx >= start) & (idx < start + count)
             alpha_v, logs, g_exp = _phi_blend(d, xr, yr, slot_valid)
-            logs_s[phi] = logs
             av_s[phi] = alpha_v
             ge_s[phi] = g_exp
             S = S + logs
@@ -505,11 +505,13 @@ def _bwd_kernel(tile_start, tile_count, inst_hbm, pix_ref, grad_hbm,
         def _():
             wait_gdma(cur, k - 2)
 
-        # pass 2: transmittance, blend weights, γw row sums, dfeat staging
+        # pass 2: transmittance, blend weights, γw row sums, dfeat
+        # staging.  T runs as the product p_exc ← p_exc·(1-α) (the exact
+        # CUDA recurrence): one exp per chunk, not one per φ
         Msum = jnp.zeros((RPC_B, PIX), jnp.float32)
+        p_exc = jnp.exp(run)
         for phi in range(8):
             alpha_v = av_s[phi]
-            p_exc = jnp.exp(run)
             pe_s[phi] = p_exc
             p_inc = p_exc * (1.0 - alpha_v)
             w = jnp.where(p_inc >= T_STOP, alpha_v * p_exc, 0.0)
@@ -520,7 +522,7 @@ def _bwd_kernel(tile_start, tile_count, inst_hbm, pix_ref, grad_hbm,
                 w, gstack, (((1,), (1,)), ((), ())),
                 precision=_HIGHEST, preferred_element_type=jnp.float32)
             gbuf[cur, pl.Slice(phi, RPC_B, 8), 0:ILANES] = dfeat
-            run = run + logs_s[phi]
+            p_exc = p_inc
 
         runm = jax.lax.dot_general(
             sltri, Msum, (((1,), (0,)), ((), ())),
@@ -661,7 +663,6 @@ def _run_backward(inst_packed, pix_tiles, tile_start, tile_count,
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.VMEM((1, PIX), jnp.float32),
             pltpu.VMEM((1, PIX), jnp.float32),
-            pltpu.VMEM((8, RPC_B, PIX), jnp.float32),
             pltpu.VMEM((8, RPC_B, PIX), jnp.float32),
             pltpu.VMEM((8, RPC_B, PIX), jnp.float32),
             pltpu.VMEM((8, RPC_B, PIX), jnp.float32),
