@@ -108,6 +108,33 @@ class TrainLog:
     events: List[Dict] = field(default_factory=list)
 
 
+class NonFiniteLossError(RuntimeError):
+    pass
+
+
+def dump_nonfinite(out_dir: str, rec: Dict, logger) -> None:
+    """Post-mortem for a NaN/inf loss: checkpoint the pre-step state and
+    the step's host-side inputs, then abort (the reference's analogue is
+    the CUDA snapshot dump, dgr/__init__.py:87-95 + detect_anomaly)."""
+    it = rec["it"]
+    path = os.path.join(out_dir, f"nonfinite_it{it}")
+    try:
+        from ..model.io import save_checkpoint
+        save_checkpoint(path + "_ckpt", rec["ts_prev"])
+        np.savez(path + "_inputs.npz",
+                 it=it, view=rec["vi"],
+                 fg_box=np.asarray(rec["fg_box"]),
+                 cross_box=np.asarray(rec["cross_box"]),
+                 use_cross=rec["use_cross"],
+                 num_instances=int(rec["aux"].num_instances),
+                 n_active=int(rec["aux"].n_active))
+    except Exception as e:    # the dump must never mask the real error
+        logger.warning("non-finite dump failed: %s", e)
+    logger.error("non-finite loss at iter %d (view %d) — state dumped "
+                 "to %s_*", it, rec["vi"], path)
+    raise NonFiniteLossError(f"loss became non-finite at iteration {it}")
+
+
 def train_scene(views, ref_index: int, points: np.ndarray, run: RunConfig,
                 out_dir: str = "",
                 ref_image: Optional[np.ndarray] = None,
@@ -296,6 +323,12 @@ def train_scene(views, ref_index: int, points: np.ndarray, run: RunConfig,
         # one iteration behind the launch) — real losses are logged every
         # iteration without stalling the device pipeline
         loss = float(aux.loss)
+        if not np.isfinite(loss):
+            # failure detection (SURVEY §5): the reference dumps kernel
+            # args on CUDA failure (dgr/__init__.py:87-95); here the
+            # pre-step state is checkpointed for post-mortem and the run
+            # aborts loudly instead of training on garbage
+            dump_nonfinite(out_dir or ".", rec, logger)
         log.losses.append(loss)
         log.iter_times.append(rec["dispatch_s"])
         ts_new = rec["ts_new"]

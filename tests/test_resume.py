@@ -68,3 +68,39 @@ def test_checkpoint_meta_written(tmp_path):
         meta = json.load(f)
     assert meta["iteration"] == 6
     assert meta["capacity"] >= 1 << 14
+
+
+def test_nonfinite_dump(tmp_path):
+    """A NaN loss checkpoints the pre-step state and aborts loudly."""
+    import logging
+
+    import jax
+    import numpy as np
+    import pytest
+    import jax.numpy as jnp
+
+    from gscream_tpu.config import OptimConfig
+    from gscream_tpu.model.scaffold import ScaffoldConfig, init_scaffold
+    from gscream_tpu.train.loop import NonFiniteLossError, dump_nonfinite
+    from gscream_tpu.train.state import init_train_state
+
+    cfg = ScaffoldConfig(feat_dim=8, n_offsets=2, voxel_size=0.1,
+                         capacity=64)
+    pts = np.random.default_rng(0).normal(size=(20, 3)).astype(np.float32)
+    sc = init_scaffold(jax.random.PRNGKey(0), pts, cfg)
+    ts = init_train_state(sc, cfg, jax.random.PRNGKey(1))
+
+    class Aux:
+        num_instances = jnp.int32(7)
+        n_active = jnp.int32(5)
+
+    rec = dict(it=123, vi=2, fg_box=jnp.zeros((4, 4)),
+               cross_box=jnp.zeros(4, jnp.int32), use_cross=False,
+               ts_prev=ts, aux=Aux())
+    with pytest.raises(NonFiniteLossError):
+        dump_nonfinite(str(tmp_path), rec, logging.getLogger("t"))
+    import os
+    assert os.path.exists(tmp_path / "nonfinite_it123_inputs.npz")
+    z = np.load(tmp_path / "nonfinite_it123_inputs.npz")
+    assert int(z["it"]) == 123 and int(z["num_instances"]) == 7
+    assert os.path.isdir(tmp_path / "nonfinite_it123_ckpt")
