@@ -222,7 +222,8 @@ def _strict_lower_tri(n: int):
 
 def _phi_blend(d, xr, yr, slot_valid):
     """Per-φ-block forward math: d (R,16) instance lanes, xr/yr (1,PIX),
-    slot_valid (R,1).  Returns (alpha_v, logs, g_exp) each (R,PIX).
+    slot_valid (R,1).  Returns (alpha_v, one_m, g_exp) each (R,PIX),
+    where one_m = 1 - alpha_v (a transmittance product factor).
 
     The degree-2 power polynomial runs on the VPU as broadcast FMAs of
     (R,1) coefficient columns against (1,PIX) coordinate rows — an MXU
@@ -235,8 +236,7 @@ def _phi_blend(d, xr, yr, slot_valid):
     alpha = jnp.minimum(d[:, 0:1] * g_exp, 0.99)
     valid = slot_valid & (power <= 0.0) & (alpha >= ALPHA_MIN)
     alpha_v = jnp.where(valid, alpha, 0.0)
-    logs = jnp.log1p(-alpha_v)
-    return alpha_v, logs, g_exp
+    return alpha_v, 1.0 - alpha_v, g_exp
 
 
 # ---------------------------------------------------------------------------
@@ -288,15 +288,19 @@ def _fwd_kernel(tile_start, tile_count, inst_hbm, out_ref, buf, sem,
         base = (r0 + k * RPC_F) * 8
         ri = jax.lax.broadcasted_iota(jnp.int32, (RPC_F, 1), 0)
 
-        # pass 1: per-φ alpha/log, row sums for the scan
-        S = jnp.zeros((RPC_F, PIX), jnp.float32)
+        # pass 1: per-φ alpha, per-row transmittance factor.  The row's
+        # log sum Σφ log1p(-α) is computed as ONE log of the row product
+        # Πφ(1-α): 8x fewer transcendentals; the extra fp32 rounding is
+        # bounded by the golden-bundle gate (tests/test_golden.py)
+        rowprod = jnp.ones((RPC_F, PIX), jnp.float32)
         for phi in range(8):
             d = buf[cur][:, 16 * phi:16 * phi + 16]
             idx = base + ri * 8 + phi
             slot_valid = (idx >= start) & (idx < start + count)
-            alpha_v, logs, _ = _phi_blend(d, xr, yr, slot_valid)
+            alpha_v, one_m, _ = _phi_blend(d, xr, yr, slot_valid)
             av_s[phi] = alpha_v
-            S = S + logs
+            rowprod = rowprod * one_m
+        S = jnp.log(rowprod)
 
         # exclusive row prefix (strict triangle) + chunk carry
         run = jax.lax.dot_general(
@@ -483,16 +487,18 @@ def _bwd_kernel(tile_start, tile_count, inst_hbm, pix_ref, grad_hbm,
         base = (r0 + k * RPC_B) * 8
         ri = jax.lax.broadcasted_iota(jnp.int32, (RPC_B, 1), 0)
 
-        # pass 1: per-φ planes + row log sums
-        S = jnp.zeros((RPC_B, PIX), jnp.float32)
+        # pass 1: per-φ planes + row transmittance factors (see the
+        # forward: one log of the row product replaces 8 log1p)
+        rowprod = jnp.ones((RPC_B, PIX), jnp.float32)
         for phi in range(8):
             d = buf[cur][:, 16 * phi:16 * phi + 16]
             idx = base + ri * 8 + phi
             slot_valid = (idx >= start) & (idx < start + count)
-            alpha_v, logs, g_exp = _phi_blend(d, xr, yr, slot_valid)
+            alpha_v, one_m, g_exp = _phi_blend(d, xr, yr, slot_valid)
             av_s[phi] = alpha_v
             ge_s[phi] = g_exp
-            S = S + logs
+            rowprod = rowprod * one_m
+        S = jnp.log(rowprod)
 
         run = jax.lax.dot_general(
             sltri, S, (((1,), (0,)), ((), ())),
