@@ -62,8 +62,13 @@ def _ssim_map(img1, img2, window_size, sigma, padding, c1, c2):
     mu1_sq = mu1 * mu1
     mu2_sq = mu2 * mu2
     mu12 = mu1 * mu2
-    s1 = f(img1 * img1) - mu1_sq
-    s2 = f(img2 * img2) - mu2_sq
+    # variances are mathematically >= 0; the E[x²]-μ² cancellation makes
+    # them slightly negative under rounding — catastrophically so in the
+    # bf16 loss path, where (s1+s2+c2) can cross zero and blow the map to
+    # inf/NaN.  Clamping keeps the denominator >= c2 (a no-op at fp32
+    # beyond the last ulp).
+    s1 = jnp.maximum(f(img1 * img1) - mu1_sq, 0.0)
+    s2 = jnp.maximum(f(img2 * img2) - mu2_sq, 0.0)
     s12 = f(img1 * img2) - mu12
     return ((2 * mu12 + c1) * (2 * s12 + c2)) / (
         (mu1_sq + mu2_sq + c1) * (s1 + s2 + c2))
