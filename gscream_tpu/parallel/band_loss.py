@@ -153,30 +153,27 @@ def band_loss_terms(out_band, row0, gt_image, gt_mask, midas_depth,
     img_ext = halo_exchange(img_band, axis_name, n_bands)
     gt_ext = ext_rows(gt_image)
 
-    def ssim_partial(weight_band=None):
-        """Partial Σ ssim_map (optionally ·weight) over owned real rows."""
+    def ssim_owned():
+        """Row-weighted ssim_map over this band's owned real rows — built
+        ONCE; the plain and weighted sums reuse the same map (the 11x11
+        separable convs are the loss head's dominant cost)."""
         m = _ssim_map(img_ext, gt_ext, 11, 1.5, "zero",
                       0.01 ** 2, 0.03 ** 2)
-        m = _own(m, bh) * rw[None]
-        if weight_band is not None:
-            m = m * weight_band
-        return jnp.sum(m)
+        return _own(m, bh) * rw[None]
 
     if is_ref:
         l1_sum = jnp.sum(jnp.abs(img_band - gt_band) * rw[None])
-        ssim_sum = ssim_partial()
-        sums = [l1_sum, ssim_sum]
+        m_own = ssim_owned()
+        sums = [l1_sum, jnp.sum(m_own)]
         if opt.refer_rgb_lr_fg > opt.refer_rgb_lr:
             l1m_sum = jnp.sum(jnp.abs(img_band - gt_band)
                               * mask_band * rw[None])
-            ssimm_sum = ssim_partial(mask_band)
-            sums += [l1m_sum, ssimm_sum]
+            sums += [l1m_sum, jnp.sum(m_own * mask_band)]
         valid_band = (1.0 - mask_band[0]) * rw
     else:
         w_band = ((1.0 - mask_band) + opt.other_rgb_lr_fg * mask_band)
         l1m_sum = jnp.sum(jnp.abs(img_band - gt_band) * w_band * rw[None])
-        ssimm_sum = ssim_partial(w_band)
-        sums = [l1m_sum, ssimm_sum]
+        sums = [l1m_sum, jnp.sum(ssim_owned() * w_band)]
         valid_band = (1.0 - mask_band[0]) * rw
 
     # --- MiDaS scale/shift normal equations on the valid region ---------

@@ -175,13 +175,21 @@ def render_view_sharded(scaffold: ScaffoldState, camera: Camera, bg,
         attrs=jax.lax.stop_gradient(rt.gauss_attrs(
             splats.mean2d, splats.conic, dec.opacity, dec.color,
             splats.depth, dec.uncertainty)))
-    # pad the tile-range arrays to the banded grid
+    # pad the tile-range arrays to the banded grid.  Pad tiles carry
+    # start = end of the last REAL tile (count=0), NOT start=0: the
+    # backward kernel's sentinel pass zero-fills grad_hbm from the LAST
+    # grid tile's start+count to the end of the buffer, so a 0-start pad
+    # tile as the last tile of a band would wipe every gradient row the
+    # band just wrote (silent zero gradients whenever gy % n_bands != 0),
+    # while the real end keeps the sentinel-slot zeroing identical to the
+    # unpadded grid.
     pad_tiles = gy_pad * gx - gy * gx
     if pad_tiles:
+        end = binning.tile_start[-1] + binning.tile_count[-1]
         binning = binning._replace(
             tile_start=jnp.concatenate(
                 [binning.tile_start,
-                 jnp.zeros((pad_tiles,), jnp.int32)]),
+                 jnp.full((pad_tiles,), 1, jnp.int32) * end]),
             tile_count=jnp.concatenate(
                 [binning.tile_count,
                  jnp.zeros((pad_tiles,), jnp.int32)]))

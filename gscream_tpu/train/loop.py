@@ -227,6 +227,15 @@ def train_scene(views, ref_index: int, points: np.ndarray, run: RunConfig,
             is_ref=(i == ref_index),
         ))
 
+    # callbacks may take (it, ts, aux) or (it, ts, aux, mlog) — the
+    # latter receives the metrics logger for TB image grids; resolved
+    # once (signature reflection has no place on the per-iteration path)
+    callback_wants_mlog = False
+    if callback is not None:
+        import inspect
+        callback_wants_mlog = (
+            len(inspect.signature(callback).parameters) >= 4)
+
     zero_box = jnp.zeros(4, jnp.int32)
     t_start = time.time()
     cap_state = {"cap": capacity}
@@ -343,10 +352,7 @@ def train_scene(views, ref_index: int, points: np.ndarray, run: RunConfig,
                           "total_points": anchors,
                           "instances": rec["n_inst"]})
         if callback is not None:
-            # callbacks may take (it, ts, aux) or (it, ts, aux, mlog) —
-            # the latter receives the metrics logger for TB image grids
-            import inspect
-            if len(inspect.signature(callback).parameters) >= 4:
+            if callback_wants_mlog:
                 callback(it, ts_new, aux, mlog)
             else:
                 callback(it, ts_new, aux)

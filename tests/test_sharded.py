@@ -152,3 +152,45 @@ def test_sharded_train_step_runs(scene):
         losses.append(float(loss))
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0]
+
+
+def test_pad_tiles_do_not_wipe_gradients():
+    """Regression (r2 review): banded grids pad the tile-range arrays;
+    pad tiles must carry start=capacity, because the backward kernel's
+    sentinel pass zero-fills grad_hbm from the LAST tile's start+count —
+    a 0-start pad tile at the end of a band erased every gradient row the
+    band had just written (silently zero gradients whenever
+    gy % n_bands != 0)."""
+    from tests.utils import random_camera, random_gaussians
+    from gscream_tpu.ops import projection as proj
+    from gscream_tpu.ops.binning import bin_instances
+    from gscream_tpu.ops import rasterize_tiled as rt
+
+    rng = np.random.default_rng(0)
+    cam = random_camera(width=64, height=64)
+    means, scales, quats, colors, opac, unc = random_gaussians(rng, n=150)
+    splats = proj.preprocess(means, scales, quats, cam.w2c, cam.full_proj,
+                             64, 64, cam.tan_fovx, cam.tan_fovy,
+                             tile_w=rt.TILE_W, tile_h=rt.TILE_H)
+    cap = 8192
+    binning = bin_instances(splats, cap, 64, 64, rt.TILE_W, rt.TILE_H)
+    gx = 2
+    inst = rt.pack_instance_data(splats.mean2d, splats.conic, opac, colors,
+                                 splats.depth, unc, binning, gx)
+    pix1 = jnp.ones((1, 8, rt.PIX), jnp.float32)
+
+    def run(ts, tc, n_tiles):
+        raw = rt._run_backward(inst, jnp.tile(pix1, (n_tiles, 1, 1)),
+                               ts, tc, n_tiles, True)
+        return np.asarray(raw[:cap, :rt.ILANES])
+
+    base = run(binning.tile_start, binning.tile_count, 4)
+    assert np.abs(base).sum() > 0
+    # banded-grid padding convention: start = last real end, count=0
+    end = binning.tile_start[-1] + binning.tile_count[-1]
+    ts_pad = jnp.concatenate([binning.tile_start,
+                              jnp.full((2,), 1, jnp.int32) * end])
+    tc_pad = jnp.concatenate([binning.tile_count,
+                              jnp.zeros((2,), jnp.int32)])
+    padded = run(ts_pad, tc_pad, 6)
+    np.testing.assert_array_equal(padded, base)

@@ -175,14 +175,24 @@ def main():
         extent = sd.cameras_extent
         test_views = sd.test_views
         ref_image = ref_depth = None
+        # the substituted reference artifacts are stored at the dataset's
+        # native resolution — resize them through the same paths the
+        # views took so -r / the >1600px auto policy can't desync shapes
+        vh, vw = sd.height, sd.width
         if args.ref_image_path:
             import imageio.v2 as imageio
+            from gscream_tpu.data.dataset import _resize_image
             ref_image = (np.asarray(
                 imageio.imread(args.ref_image_path), np.float32)
                 / 255.0)[:, :, :3].transpose(2, 0, 1)
+            if ref_image.shape[1:] != (vh, vw):
+                ref_image = _resize_image(ref_image, (vh, vw))
         if args.ref_depth_path:
+            from gscream_tpu.data.dataset import _resize_nearest
             ref_depth = np.load(args.ref_depth_path).astype(
                 np.float32)[None]
+            if ref_depth.shape[1:] != (vh, vw):
+                ref_depth = _resize_nearest(ref_depth, (vh, vw))
 
     logger.info("training %d views, %d points, %d iters",
                 len(views), len(points), args.iterations)
