@@ -104,9 +104,35 @@ def _enable_compile_cache():
     ensure_fp32_matmuls()
 
 
+def _backend_alive(timeout_s: int = 420) -> bool:
+    """Probe jax backend init in a SUBPROCESS.
+
+    When the axon relay dies (observed: the local endpoint vanishes),
+    ``jax.devices()`` hangs forever in C — an in-process try/except can't
+    guard it.  A timed-out probe lets the bench emit its error JSON
+    instead of wedging the caller.
+    """
+    import subprocess
+    import sys
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=timeout_s, capture_output=True)
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main():
     import os
     _enable_compile_cache()
+    if not _backend_alive():
+        print(json.dumps({
+            "metric": "rays_per_s_fwd_bwd_1297x840", "value": 0,
+            "unit": "rays/s", "vs_baseline": 0.0,
+            "error": "backend init hang: TPU relay unreachable "
+                     "(probe subprocess timed out)"}))
+        return
     try:
         import jax
         backend = jax.default_backend()
