@@ -163,6 +163,20 @@ def main():
         ref_image = ref_depth = None
         extent = 1.0
         test_views = views[:2]
+    elif os.path.exists(os.path.join(args.source_path,
+                                     "transforms_train.json")):
+        # NeRF-synthetic layout (reference sceneLoadTypeCallbacks
+        # "Blender", dataset_readers.py:471-474)
+        from gscream_tpu.data.blender import load_blender_scene
+        sd = load_blender_scene(args.source_path,
+                                white_background=False,
+                                ply_path=args.specified_ply_path)
+        views = sd.train_views
+        ref_index = 0
+        points = sd.points
+        extent = sd.cameras_extent
+        test_views = sd.test_views
+        ref_image = ref_depth = None
     else:
         from gscream_tpu.data.dataset import load_spinnerf_scene
         sd = load_spinnerf_scene(args.source_path,
