@@ -24,6 +24,7 @@ over gather/compaction).
 """
 from __future__ import annotations
 
+import os
 from typing import NamedTuple
 
 import jax
@@ -179,7 +180,8 @@ def preprocess(means3d: jnp.ndarray, scales: jnp.ndarray, rots: jnp.ndarray,
                scale_modifier: float = 1.0,
                cov3d_precomp: jnp.ndarray | None = None,
                tile_w: int = 16, tile_h: int = 16,
-               active_mask: jnp.ndarray | None = None) -> Splats:
+               active_mask: jnp.ndarray | None = None,
+               opacity: jnp.ndarray | None = None) -> Splats:
     """Full preprocess: N world gaussians → screen splats with cull mask.
 
     Differentiable in (means3d, scales, rots).  radius==0 marks gaussians
@@ -192,6 +194,19 @@ def preprocess(means3d: jnp.ndarray, scales: jnp.ndarray, rots: jnp.ndarray,
     tiny trailing axis on the TPU's 128-lane dimension (~3/128 lane
     occupancy), so the column form is the fast layout.  Semantics are
     bit-identical to the reference math documented above.
+
+    ``opacity`` (N,) enables **tight rect culling**: the emission rect
+    becomes the intersection of the reference's 3σ square with the
+    per-axis bounding box of the ``α ≥ 1/255`` iso-ellipse.  The blend
+    kernels skip every pixel with ``α < 1/255`` (forward.cu:536,
+    rasterize_tiled/rasterize_ref share the test), so instances dropped
+    this way contribute nothing in the reference either — rendered
+    output and gradients are unchanged while the instance count (and
+    with it every capacity-scale sort/kernel cost) drops by the
+    opacity- and anisotropy-dependent area ratio.  ``radius`` itself is
+    NOT tightened: it stays the reference's 3σ value so the
+    densification visibility statistics and anchor prefilters match the
+    reference trajectory exactly.  Escape hatch: GSCREAM_TIGHT_CULL=0.
     """
     focal_x = width / (2.0 * tan_fovx)
     focal_y = height / (2.0 * tan_fovy)
@@ -293,20 +308,56 @@ def preprocess(means3d: jnp.ndarray, scales: jnp.ndarray, rots: jnp.ndarray,
     grid_y = -(-height // tile_h)
     radius_i = radius_f.astype(jnp.int32)
     r = radius_f
-    rmin_x = jnp.clip(jnp.floor((mean_x - r) / tile_w), 0, grid_x)
-    rmin_y = jnp.clip(jnp.floor((mean_y - r) / tile_h), 0, grid_y)
-    rmax_x = jnp.clip(jnp.floor((mean_x + r + tile_w - 1) / tile_w),
-                      0, grid_x)
-    rmax_y = jnp.clip(jnp.floor((mean_y + r + tile_h - 1) / tile_h),
-                      0, grid_y)
-    area = (rmax_x - rmin_x) * (rmax_y - rmin_y)
+    # visibility (and the returned radius) use the REFERENCE's 3σ square —
+    # getRect (auxiliary.h:45-56) then zero-area early-out
+    ref_rmin_x = jnp.clip(jnp.floor((mean_x - r) / tile_w), 0, grid_x)
+    ref_rmin_y = jnp.clip(jnp.floor((mean_y - r) / tile_h), 0, grid_y)
+    ref_rmax_x = jnp.clip(jnp.floor((mean_x + r + tile_w - 1) / tile_w),
+                          0, grid_x)
+    ref_rmax_y = jnp.clip(jnp.floor((mean_y + r + tile_h - 1) / tile_h),
+                          0, grid_y)
+    area = (ref_rmax_x - ref_rmin_x) * (ref_rmax_y - ref_rmin_y)
     visible = in_front & det_valid & (area > 0)
     if active_mask is not None:
         # caller-side cull (e.g. neural opacity <= 0 — such gaussians are
         # never rasterized, so don't emit instances for them)
         visible = visible & active_mask
     radius = jnp.where(visible, radius_i, 0)
-    vzi = visible.astype(jnp.int32)
+
+    if opacity is not None and not os.environ.get("GSCREAM_TIGHT_CULL") \
+            == "0":
+        # tight rect: α(d) = op·exp(-½ dᵀΣ⁻¹d) ≥ 1/255  ⇔  dᵀΣ⁻¹d ≤ 2t,
+        # t = ln(255·op).  The level set's bounding box half-widths are
+        # √(2t·Σxx), √(2t·Σyy) (Σ = dilated cov2d, whose inverse is the
+        # conic the kernels evaluate).  +2% on t absorbs f32 α rounding
+        # at the boundary; op ≤ 1/255 means every pixel fails the test —
+        # rect empties, the gaussian emits nothing (its radius stays >0
+        # for the reference-exact visibility stats above).
+        t_op = jnp.log(255.0 * jnp.maximum(
+            jax.lax.stop_gradient(opacity), 1e-12)) + 0.02
+        t_pos = jnp.maximum(t_op, 0.0)
+        hx = jnp.minimum(jnp.sqrt(2.0 * t_pos * jnp.maximum(a, 0.0)), r)
+        hy = jnp.minimum(jnp.sqrt(2.0 * t_pos * jnp.maximum(c, 0.0)), r)
+        emit = visible & (t_op > 0.0)
+        # exact tile covering of the CONTINUOUS interval [m-h, m+h]
+        # (floor(x)+1, not the reference's (x + tw-1)//tw int-ceil idiom —
+        # that idiom under-covers fractional extents, which is harmless at
+        # the ref's 3σ edge where α≈0 but not at the tight box edge where
+        # α = 1/255 exactly), then intersected with the reference rect so
+        # the emitted set is a strict subset of the reference's
+        rmin_x = jnp.maximum(jnp.floor((mean_x - hx) / tile_w), ref_rmin_x)
+        rmin_y = jnp.maximum(jnp.floor((mean_y - hy) / tile_h), ref_rmin_y)
+        rmax_x = jnp.minimum(jnp.floor((mean_x + hx) / tile_w) + 1.0,
+                             ref_rmax_x)
+        rmax_y = jnp.minimum(jnp.floor((mean_y + hy) / tile_h) + 1.0,
+                             ref_rmax_y)
+        rmax_x = jnp.maximum(rmax_x, rmin_x)   # keep rects non-negative
+        rmax_y = jnp.maximum(rmax_y, rmin_y)
+        vzi = emit.astype(jnp.int32)
+    else:
+        rmin_x, rmin_y = ref_rmin_x, ref_rmin_y
+        rmax_x, rmax_y = ref_rmax_x, ref_rmax_y
+        vzi = visible.astype(jnp.int32)
 
     return Splats(
         mean2d=jnp.stack([mean_x, mean_y], axis=-1),

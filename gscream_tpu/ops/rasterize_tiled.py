@@ -931,7 +931,7 @@ def render_tiled(means3d, scales, rots, colors, opacity, unc, camera, bg,
     splats = preprocess(means3d, scales, rots, camera.w2c, camera.full_proj,
                         camera.width, camera.height, camera.tan_fovx,
                         camera.tan_fovy, scale_modifier,
-                        tile_w=TILE_W, tile_h=TILE_H)
+                        tile_w=TILE_W, tile_h=TILE_H, opacity=opacity)
     binning = bin_instances(
         splats, capacity, camera.width, camera.height, TILE_W, TILE_H,
         attrs=gauss_attrs(splats.mean2d, splats.conic, opacity, colors,

@@ -119,3 +119,99 @@ def test_preprocess_differentiable(rng):
     for g in grads:
         assert np.all(np.isfinite(np.asarray(g)))
         assert np.any(np.asarray(g) != 0)
+
+
+class TestTightCull:
+    """Tight rect culling (round 3 perf headline): passing ``opacity`` to
+    preprocess shrinks the emission rect to the α ≥ 1/255 iso-box ∩ the
+    3σ square.  Every removed instance fails the blend kernels' alpha
+    test, so output and gradients must be IDENTICAL while the instance
+    count drops; radius/visibility stay the reference's 3σ values."""
+
+    def _setup(self, n=300, width=64, height=64, seed=3):
+        from tests.utils import random_camera, random_gaussians
+        rng = np.random.default_rng(seed)
+        cam = random_camera(width=width, height=height)
+        means, scales, quats, colors, _, unc = random_gaussians(rng, n=n)
+        # opacities spanning sub-1/255 to near-1 to exercise every branch
+        op = jnp.asarray(10.0 ** rng.uniform(-4, -0.02, n), jnp.float32)
+        return cam, means, scales, quats, colors, op, unc
+
+    def _pre(self, cam, means, scales, quats, op=None, w=64, h=64):
+        return proj.preprocess(means, scales, quats, cam.w2c,
+                               cam.full_proj, w, h, cam.tan_fovx,
+                               cam.tan_fovy, tile_w=16, tile_h=16,
+                               opacity=op)
+
+    def test_radius_and_instance_count(self):
+        cam, means, scales, quats, colors, op, unc = self._setup()
+        s_ref = self._pre(cam, means, scales, quats)
+        s_t = self._pre(cam, means, scales, quats, op)
+        np.testing.assert_array_equal(np.asarray(s_ref.radius),
+                                      np.asarray(s_t.radius))
+        def n_inst(s):
+            rw = s.rect_max[:, 0] - s.rect_min[:, 0]
+            rh = s.rect_max[:, 1] - s.rect_min[:, 1]
+            return int(jnp.sum(jnp.where(s.radius > 0, rw * rh, 0)))
+        assert n_inst(s_t) < n_inst(s_ref) * 0.7, \
+            (n_inst(s_t), n_inst(s_ref))
+        # sub-1/255 opacity gaussians emit nothing at all
+        dead = np.asarray((op < 1 / 255.) & (s_ref.radius > 0))
+        areas = np.asarray((s_t.rect_max - s_t.rect_min).prod(1))
+        assert (areas[dead] == 0).all()
+
+    def test_oracle_output_identical(self):
+        from gscream_tpu.ops.rasterize_ref import rasterize_scan
+        cam, means, scales, quats, colors, op, unc = self._setup()
+        bg = jnp.asarray([0.1, 0.2, 0.3])
+        outs = []
+        for s in (self._pre(cam, means, scales, quats),
+                  self._pre(cam, means, scales, quats, op)):
+            outs.append(rasterize_scan(s, colors, op, unc, bg, 64, 64))
+        for a, b in zip(outs[0][:4], outs[1][:4]):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_kernel_fwd_bwd_identical(self):
+        from gscream_tpu.ops import rasterize_tiled as rt
+        from gscream_tpu.ops.binning import bin_instances
+        cam, means, scales, quats, colors, op, unc = self._setup()
+        bg = jnp.asarray([0.1, 0.2, 0.3])
+        cap = 1 << 14
+
+        def pre32(o):
+            return proj.preprocess(means, scales, quats, cam.w2c,
+                                   cam.full_proj, 64, 64, cam.tan_fovx,
+                                   cam.tan_fovy, tile_w=rt.TILE_W,
+                                   tile_h=rt.TILE_H, opacity=o)
+
+        def render(tight):
+            s = pre32(op if tight else None)
+            def f(m2d, conic, o, col, dep, u):
+                binn = bin_instances(
+                    s._replace(mean2d=m2d), cap, 64, 64, rt.TILE_W,
+                    rt.TILE_H,
+                    attrs=jax.lax.stop_gradient(rt.gauss_attrs(
+                        m2d, conic, o, col, dep, u)))
+                assert int(binn.num_instances) <= cap
+                out = rt.rasterize_tiled(m2d, conic, o, col, dep, u,
+                                         binn, bg, 64, 64, True)
+                return jnp.stack([out.color.sum(-1), out.depth,
+                                  out.uncertainty, out.final_t])
+            val, vjp = jax.vjp(f, s.mean2d, s.conic, op, colors,
+                               s.depth, unc)
+            ct = jnp.asarray(np.random.default_rng(0).normal(
+                size=val.shape), jnp.float32)
+            return val, vjp(ct)
+
+        v_ref, g_ref = render(False)
+        v_t, g_t = render(True)
+        # forward: removed instances contributed exact zeros, but the
+        # kernel's chunked log-transmittance reassociates when the
+        # per-tile lists compact → ulp-level drift only
+        np.testing.assert_allclose(np.asarray(v_ref), np.asarray(v_t),
+                                   rtol=0, atol=2e-6)
+        # backward: same nonzero terms, but instances shift φ-groups in
+        # the segment reducer → f32 reassociation at the 1e-5 scale
+        for a, b in zip(g_ref, g_t):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=5e-3, atol=1e-4)
