@@ -114,7 +114,7 @@ def _grad_pyramid_partials(aligned_ext, target_ext, mask_ext, row0, bh,
 
 
 def band_loss_terms(out_band, row0, gt_image, gt_mask, midas_depth,
-                    fg_box_mask, opt: OptimConfig, is_ref: bool,
+                    fg_box_mask, opt: OptimConfig, is_ref,
                     height: int, width: int, axis_name: str, n_bands: int):
     """Band-sharded equivalent of ``train.step.loss_terms``.
 
@@ -122,7 +122,14 @@ def band_loss_terms(out_band, row0, gt_image, gt_mask, midas_depth,
     first global row; gt_image (3,H,W), gt_mask (1,H,W), midas_depth
     (1,H,W), fg_box_mask (H,W) are replicated full-frame inputs (they are
     plain training data — only *rendered* tensors travel between bands).
-    Returns (loss, l1) — identical on every band device after the psums.
+
+    ``is_ref`` may be a Python bool **or a traced scalar** (per-view flag
+    in a data-parallel batch, VERDICT r2 item 2): the superset of both
+    branches' partial sums is computed once — the expensive SSIM map is
+    shared, the extra masked sums are elementwise-cheap — and the final
+    value is a ``jnp.where`` select (constant-folded when is_ref is a
+    Python bool).  Returns (loss, l1) — identical on every band device
+    after the psums.
     """
     bh = out_band.depth.shape[0]
     img_band = out_band.color.transpose(2, 0, 1)       # (3, bh, W)
@@ -136,7 +143,6 @@ def band_loss_terms(out_band, row0, gt_image, gt_mask, midas_depth,
 
     def ext_rows(full):
         """Halo-extended strip of a replicated full-image tensor."""
-        pad = [(0, 0)] * (full.ndim - 2) + [(HALO, 0), (0, 0)]
         padded = jnp.pad(full, [(0, 0)] * (full.ndim - 2)
                          + [(HALO, HALO + bh * n_bands - height), (0, 0)])
         return jax.lax.dynamic_slice_in_dim(padded, row0, bh + 2 * HALO,
@@ -153,28 +159,17 @@ def band_loss_terms(out_band, row0, gt_image, gt_mask, midas_depth,
     img_ext = halo_exchange(img_band, axis_name, n_bands)
     gt_ext = ext_rows(gt_image)
 
-    def ssim_owned():
-        """Row-weighted ssim_map over this band's owned real rows — built
-        ONCE; the plain and weighted sums reuse the same map (the 11x11
-        separable convs are the loss head's dominant cost)."""
-        m = _ssim_map(img_ext, gt_ext, 11, 1.5, "zero",
-                      0.01 ** 2, 0.03 ** 2)
-        return _own(m, bh) * rw[None]
-
-    if is_ref:
-        l1_sum = jnp.sum(jnp.abs(img_band - gt_band) * rw[None])
-        m_own = ssim_owned()
-        sums = [l1_sum, jnp.sum(m_own)]
-        if opt.refer_rgb_lr_fg > opt.refer_rgb_lr:
-            l1m_sum = jnp.sum(jnp.abs(img_band - gt_band)
-                              * mask_band * rw[None])
-            sums += [l1m_sum, jnp.sum(m_own * mask_band)]
-        valid_band = (1.0 - mask_band[0]) * rw
-    else:
-        w_band = ((1.0 - mask_band) + opt.other_rgb_lr_fg * mask_band)
-        l1m_sum = jnp.sum(jnp.abs(img_band - gt_band) * w_band * rw[None])
-        sums = [l1m_sum, jnp.sum(ssim_owned() * w_band)]
-        valid_band = (1.0 - mask_band[0]) * rw
+    # row-weighted ssim map over this band's owned real rows — built ONCE;
+    # all three weighted sums reuse it (the 11x11 separable convs are the
+    # loss head's dominant cost)
+    m_own = _own(_ssim_map(img_ext, gt_ext, 11, 1.5, "zero",
+                           0.01 ** 2, 0.03 ** 2), bh) * rw[None]
+    l1_map = jnp.abs(img_band - gt_band) * rw[None]
+    w_band = (1.0 - mask_band) + opt.other_rgb_lr_fg * mask_band
+    sums = [jnp.sum(l1_map), jnp.sum(m_own),                   # ref plain
+            jnp.sum(l1_map * mask_band), jnp.sum(m_own * mask_band),
+            jnp.sum(l1_map * w_band), jnp.sum(m_own * w_band)]  # other
+    valid_band = (1.0 - mask_band[0]) * rw
 
     # --- MiDaS scale/shift normal equations on the valid region ---------
     p, t_, mk = dep_band, mono_band, valid_band
@@ -183,9 +178,7 @@ def band_loss_terms(out_band, row0, gt_image, gt_mask, midas_depth,
 
     red1 = jax.lax.psum(jnp.stack(sums + ss), axis_name) \
         if n_bands > 1 else jnp.stack(sums + ss)
-    n_s = len(sums)
-    a00, a01, a11, b0, b1 = (red1[n_s], red1[n_s + 1], red1[n_s + 2],
-                             red1[n_s + 3], red1[n_s + 4])
+    a00, a01, a11, b0, b1 = red1[6], red1[7], red1[8], red1[9], red1[10]
     det = a00 * a11 - a01 * a01
     ok = det != 0.0
     safe = jnp.where(ok, det, 1.0)
@@ -197,61 +190,64 @@ def band_loss_terms(out_band, row0, gt_image, gt_mask, midas_depth,
                                 n_bands)[0]            # (HALO+bh+HALO, W)
     mono_ext = ext_rows(midas_depth[0])
 
-    # --- depth partial sums ---------------------------------------------
-    if is_ref:
-        dl1 = jnp.sum(jnp.abs(aligned_band - mono_band) * rw)
-        dsum = [dl1]
-        if opt.refer_depth_lr_fg > opt.refer_depth_lr:
-            dsum.append(jnp.sum(jnp.abs(aligned_band - mono_band)
-                                * fgbox_band * rw))
-        pyr_mask = jnp.ones((height, width), jnp.float32)
-    else:
-        dsum = [jnp.sum(jnp.abs(aligned_band - mono_band) * valid_band)]
-        pyr_mask = 1.0 - gt_mask[0]
-    mask_ext = ext_rows(pyr_mask)
-    # zero the halo-extension rows beyond the real image so pyramid terms
-    # vanish there (matches the unpadded global computation)
+    # --- depth partial sums (both branches) ------------------------------
+    dl1_map = jnp.abs(aligned_band - mono_band)
+    dsum = [jnp.sum(dl1_map * rw),                     # ref: full image
+            jnp.sum(dl1_map * fgbox_band * rw),        # ref: fg box
+            jnp.sum(dl1_map * valid_band)]             # other: background
+    # pyramid masks: ref = ones, other = background; both zeroed beyond
+    # the real image so halo-extension rows vanish (matches the unpadded
+    # global computation)
     ridx = row0 - HALO + jnp.arange(bh + 2 * HALO)
-    mask_ext = mask_ext * ((ridx >= 0) & (ridx < height)
-                           ).astype(jnp.float32)[:, None]
-    nums, dens = _grad_pyramid_partials(aligned_ext, mono_ext, mask_ext,
-                                        row0, bh, height)
+    real = ((ridx >= 0) & (ridx < height)).astype(jnp.float32)[:, None]
+    ones_ext = jnp.broadcast_to(real, (bh + 2 * HALO, width))
+    bg_ext = ext_rows(1.0 - gt_mask[0]) * real
+    nums_1, dens_1 = _grad_pyramid_partials(aligned_ext, mono_ext,
+                                            ones_ext, row0, bh, height)
+    nums_m, dens_m = _grad_pyramid_partials(aligned_ext, mono_ext,
+                                            bg_ext, row0, bh, height)
 
-    red2 = jax.lax.psum(jnp.concatenate([jnp.stack(dsum), nums, dens]),
-                        axis_name) if n_bands > 1 \
-        else jnp.concatenate([jnp.stack(dsum), nums, dens])
-    nd = len(dsum)
-    dsum_g = red2[:nd]
-    nums_g = red2[nd:nd + 4]
-    dens_g = red2[nd + 4:nd + 8]
-    pyr = jnp.sum(jnp.where(dens_g > 0,
-                            nums_g / jnp.maximum(dens_g, 1.0), 0.0))
+    red2 = jax.lax.psum(
+        jnp.concatenate([jnp.stack(dsum), nums_1, dens_1, nums_m, dens_m]),
+        axis_name) if n_bands > 1 \
+        else jnp.concatenate([jnp.stack(dsum), nums_1, dens_1,
+                              nums_m, dens_m])
+    dsum_g = red2[:3]
 
-    # --- assemble exactly as loss_terms does ----------------------------
-    if is_ref:
-        l1 = red1[0] / (3.0 * npix)
-        ssim_v = red1[1] / (3.0 * npix)
-        loss = opt.refer_rgb_lr * ((1 - opt.lambda_dssim) * l1
-                                   + opt.lambda_dssim * (1 - ssim_v))
-        if opt.refer_rgb_lr_fg > opt.refer_rgb_lr:
-            l1m = red1[2] / (3.0 * npix)
-            ssim_m = red1[3] / (3.0 * npix)
-            loss = loss + (opt.refer_rgb_lr_fg - opt.refer_rgb_lr) * (
-                (1 - opt.lambda_dssim) * l1m
-                + opt.lambda_dssim * (1 - ssim_m))
-        if opt.refer_depth_lr > 0:
-            dloss = opt.refer_depth_lr * (dsum_g[0] / npix)
-            if opt.refer_depth_lr_fg > opt.refer_depth_lr:
-                dloss = dloss + (opt.refer_depth_lr_fg
-                                 - opt.refer_depth_lr) * (dsum_g[1] / npix)
-            dloss = dloss + 0.5 * opt.refer_depth_lr_smooth * pyr
-            loss = loss + dloss
-    else:
-        l1 = red1[0] / (3.0 * npix)
-        ssim_m = red1[1] / (3.0 * npix)
-        loss = opt.other_rgb_lr * ((1 - opt.lambda_dssim) * l1
-                                   + opt.lambda_dssim * (1 - ssim_m))
-        if opt.other_depth_lr > 0:
-            loss = loss + opt.other_depth_lr * (dsum_g[0] / npix) \
-                + 0.5 * opt.other_depth_lr_smooth * pyr
+    def pyr_of(nums_g, dens_g):
+        return jnp.sum(jnp.where(dens_g > 0,
+                                 nums_g / jnp.maximum(dens_g, 1.0), 0.0))
+
+    pyr_ref = pyr_of(red2[3:7], red2[7:11])
+    pyr_other = pyr_of(red2[11:15], red2[15:19])
+
+    # --- assemble exactly as loss_terms does, then select ----------------
+    l1_ref = red1[0] / (3.0 * npix)
+    ssim_ref = red1[1] / (3.0 * npix)
+    loss_ref = opt.refer_rgb_lr * ((1 - opt.lambda_dssim) * l1_ref
+                                   + opt.lambda_dssim * (1 - ssim_ref))
+    if opt.refer_rgb_lr_fg > opt.refer_rgb_lr:
+        l1m = red1[2] / (3.0 * npix)
+        ssim_m = red1[3] / (3.0 * npix)
+        loss_ref = loss_ref + (opt.refer_rgb_lr_fg - opt.refer_rgb_lr) * (
+            (1 - opt.lambda_dssim) * l1m
+            + opt.lambda_dssim * (1 - ssim_m))
+    if opt.refer_depth_lr > 0:
+        dloss = opt.refer_depth_lr * (dsum_g[0] / npix)
+        if opt.refer_depth_lr_fg > opt.refer_depth_lr:
+            dloss = dloss + (opt.refer_depth_lr_fg
+                             - opt.refer_depth_lr) * (dsum_g[1] / npix)
+        dloss = dloss + 0.5 * opt.refer_depth_lr_smooth * pyr_ref
+        loss_ref = loss_ref + dloss
+
+    l1_other = red1[4] / (3.0 * npix)
+    ssim_o = red1[5] / (3.0 * npix)
+    loss_other = opt.other_rgb_lr * ((1 - opt.lambda_dssim) * l1_other
+                                     + opt.lambda_dssim * (1 - ssim_o))
+    if opt.other_depth_lr > 0:
+        loss_other = loss_other + opt.other_depth_lr * (dsum_g[2] / npix) \
+            + 0.5 * opt.other_depth_lr_smooth * pyr_other
+
+    loss = jnp.where(is_ref, loss_ref, loss_other)
+    l1 = jnp.where(is_ref, l1_ref, l1_other)
     return loss, l1

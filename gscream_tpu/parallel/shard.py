@@ -162,18 +162,29 @@ rasterize_band.defvjp(_band_fwd, _band_bwd)
 
 def render_view_sharded(scaffold: ScaffoldState, camera: Camera, bg,
                         cfg: ScaffoldConfig, capacity: int, n_bands: int,
-                        interpret: bool):
-    """decode → preprocess → bin → band-rasterize (call inside shard_map)."""
+                        interpret: bool, screen_zero=None):
+    """decode → preprocess → bin → band-rasterize (call inside shard_map).
+
+    ``screen_zero`` is the densification screen-gradient probe: a zero
+    (C·k, 2) tensor added to the projected means whose cotangent is the
+    per-gaussian screen-space gradient (the reference's
+    ``screenspace_points`` retain_grad trick,
+    gaussian_renderer/__init__.py:124-128) — identical to the
+    single-device :func:`gscream_tpu.train.step.render_from_params`.
+    """
     dec = decode(scaffold, camera.cam_center, None, cfg)
     splats = preprocess(
         dec.xyz, dec.scale, dec.rot, camera.w2c, camera.full_proj,
         camera.width, camera.height, camera.tan_fovx, camera.tan_fovy,
-        tile_w=TILE_W, tile_h=TILE_H, active_mask=dec.active)
+        tile_w=TILE_W, tile_h=TILE_H, active_mask=dec.active,
+        opacity=dec.opacity)
+    mean2d = (splats.mean2d if screen_zero is None
+              else splats.mean2d + screen_zero)
     gx, gy, gy_pad, _ = _band_geometry(camera.width, camera.height, n_bands)
     binning = bin_instances(
         splats, capacity, camera.width, camera.height, TILE_W, TILE_H,
         attrs=jax.lax.stop_gradient(rt.gauss_attrs(
-            splats.mean2d, splats.conic, dec.opacity, dec.color,
+            mean2d, splats.conic, dec.opacity, dec.color,
             splats.depth, dec.uncertainty)))
     # pad the tile-range arrays to the banded grid.  Pad tiles carry
     # start = end of the last REAL tile (count=0), NOT start=0: the
@@ -193,26 +204,32 @@ def render_view_sharded(scaffold: ScaffoldState, camera: Camera, bg,
             tile_count=jnp.concatenate(
                 [binning.tile_count,
                  jnp.zeros((pad_tiles,), jnp.int32)]))
-    out = rasterize_band(splats.mean2d, splats.conic, dec.opacity,
+    out = rasterize_band(mean2d, splats.conic, dec.opacity,
                          dec.color, splats.depth, dec.uncertainty,
                          binning, bg, camera.width, camera.height,
                          n_bands, interpret)
-    return out, dec, binning
+    return out, dec, splats, binning
 
 
 def make_sharded_loss(mesh, cfg: ScaffoldConfig, opt: OptimConfig,
                       capacity: int, width: int, height: int,
-                      interpret: bool, is_ref_weighting: bool = False):
+                      interpret: bool):
     """Build loss(params_tree, view_batch) sharded over (data, tiles).
 
     view_batch is a pytree of arrays with leading dim = mesh data size:
-    (w2c, full_proj, cam_center, tan_fovx, tan_fovy, image, mask, depth).
+    (w2c, full_proj, cam_center, tan_fovx, tan_fovy, image, mask, depth,
+    is_ref, fg_box).  ``is_ref`` is a per-view (B,) bool; ``fg_box`` the
+    per-view (B,H,W) random-box mask of the ref-view fg depth term.
     Differentiating the returned function yields correctly psum'd grads.
+
+    This is the render+loss core only (used by the loss-parity tests);
+    :func:`make_sharded_train_step` carries the full training semantics
+    (cross-attention, densification statistics, optimizers).
     """
     n_bands = mesh.shape[TILE_AXIS]
 
     def local_fn(params, mlps, alive, xyz_max, w2c, fproj, center, tfx,
-                 tfy, image, mask, mono):
+                 tfy, image, mask, mono, is_ref, fg_box):
         from .band_loss import band_loss_terms
         cam = Camera(w2c=w2c[0], full_proj=fproj[0], cam_center=center[0],
                      tan_fovx=tfx[0], tan_fovy=tfy[0],
@@ -220,22 +237,19 @@ def make_sharded_loss(mesh, cfg: ScaffoldConfig, opt: OptimConfig,
         scaffold = ScaffoldState(params=params, mlps=mlps, alive=alive,
                                  xyz_max=xyz_max)
         bg = jnp.zeros(3, jnp.float32)
-        out, dec, binning = render_view_sharded(
+        out, dec, splats, binning = render_view_sharded(
             scaffold, cam, bg, cfg, capacity, n_bands, interpret)
         _, _, _, rows_per_band = _band_geometry(width, height, n_bands)
         row0 = jax.lax.axis_index(TILE_AXIS) * rows_per_band * TILE_H
         # band-local loss: after its internal psums the value is identical
         # on every band device, so only the data axis needs a pmean
         loss, l1 = band_loss_terms(
-            out, row0, image[0], mask[0], mono[0],
-            jnp.zeros((height, width)), opt, is_ref_weighting,
-            height, width, TILE_AXIS, n_bands)
+            out, row0, image[0], mask[0], mono[0], fg_box[0], opt,
+            is_ref[0], height, width, TILE_AXIS, n_bands)
         loss = jax.lax.pmean(loss, DATA_AXIS)
         return loss
 
-    in_specs = (P(), P(), P(), P(),
-                P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS),
-                P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS))
+    in_specs = (P(), P(), P(), P()) + (P(DATA_AXIS),) * 10
     sharded = shard_map(local_fn, mesh=mesh, in_specs=in_specs,
                         out_specs=P(), check_vma=False)
 
@@ -245,27 +259,266 @@ def make_sharded_loss(mesh, cfg: ScaffoldConfig, opt: OptimConfig,
     return loss_fn
 
 
+def sharded_view_batch(views, fg_boxes=None, is_ref=None, cross_boxes=None,
+                       cross_enable=None):
+    """Stack per-view host data into the 12-tuple batch the sharded step
+    consumes.  ``views`` carry .camera/.image/.mask/.depth; the remaining
+    entries default to the phase-1 values (no ref view, no cross-attn)."""
+    B = len(views)
+    h, w = views[0].camera.height, views[0].camera.width
+    zeros_hw = np.zeros((h, w), np.float32)
+    return (
+        jnp.stack([v.camera.w2c for v in views]),
+        jnp.stack([v.camera.full_proj for v in views]),
+        jnp.stack([v.camera.cam_center for v in views]),
+        jnp.stack([jnp.asarray(v.camera.tan_fovx) for v in views]),
+        jnp.stack([jnp.asarray(v.camera.tan_fovy) for v in views]),
+        jnp.stack([jnp.asarray(v.image) for v in views]),
+        jnp.stack([jnp.asarray(v.mask) for v in views]),
+        jnp.stack([jnp.asarray(v.depth) for v in views]),
+        jnp.asarray(is_ref if is_ref is not None else [False] * B),
+        jnp.stack([jnp.asarray(b) for b in fg_boxes]) if fg_boxes
+        else jnp.zeros((B, h, w), jnp.float32),
+        jnp.stack([jnp.asarray(b, jnp.int32) for b in cross_boxes])
+        if cross_boxes else jnp.zeros((B, 4), jnp.int32),
+        jnp.asarray(cross_enable, jnp.float32) if cross_enable is not None
+        else jnp.zeros((B,), jnp.float32),
+    )
+
+
 def make_sharded_train_step(mesh, cfg: ScaffoldConfig, opt: OptimConfig,
                             capacity: int, width: int, height: int,
-                            interpret: bool):
-    """Full SPMD training step: sharded loss grad + replicated Adam."""
-    loss_fn = make_sharded_loss(mesh, cfg, opt, capacity, width, height,
-                                interpret)
-    from ..train.state import apply_adam, broadcast_group, lr_tree
+                            interpret: bool, *, white_bg: bool = False,
+                            spatial_lr_scale: float = 1.0):
+    """Full SPMD training step over a (data, tiles) mesh.
 
-    @jax.jit
-    def step(ts, batch):
+    Returns ``step(ts, batch, use_crossattn=False, feat_frozen=False,
+    accumulate=False)`` — a jitted function with the three phase flags
+    static — carrying the COMPLETE GScream iteration semantics of
+    :func:`gscream_tpu.train.step.train_step` (reference train.py:390-616):
+    per-view ``is_ref`` loss selection, the ref-view fg-box depth term,
+    cross-attention token sampling + EMA feature writes + per-view
+    ``cross_ok`` gating, densification statistics from per-view
+    screen-space gradients, masked dual-Adam updates, and the instance
+    count for the caller's capacity-overflow retry.
+
+    ``batch`` is the 12-tuple of :func:`sharded_view_batch`: per-view
+    arrays with leading dim B = mesh data size
+    (w2c, full_proj, cam_center, tan_fovx, tan_fovy, image (B,3,H,W),
+    mask (B,1,H,W), mono_depth (B,1,H,W), is_ref (B,) bool,
+    fg_box (B,H,W), cross_box (B,4) int32, cross_enable (B,)).
+
+    Batch semantics (B > 1): one step evaluates B reference iterations
+    from the SAME pre-step state — per-view losses averaged over gated
+    views (a view whose cross-attention sampling degenerates is dropped,
+    the reference's ``except: continue``, train.py:519-523), densify
+    stats summed over views, EMA feature deltas summed (disjoint sampled
+    index sets in practice), one Adam application.  For B = 1 this is
+    step-equivalent to the single-device ``train_step`` (asserted by
+    ``tests/test_sharded.py::test_trajectory_matches_single_device``).
+    """
+    import functools
+
+    from ..model.densify import accumulate_stats
+    from ..model.scaffold import AnchorParams, MLPParams
+    from ..ops.projection import preprocess as _pre
+    from ..train.state import apply_adam, broadcast_group, lr_tree
+    from ..train.step import StepAux, crossattn_update, sample_cross_tokens
+    from .band_loss import band_loss_terms
+
+    n_bands = mesh.shape[TILE_AXIS]
+    B = mesh.shape[DATA_AXIS]
+    C, k = cfg.capacity, cfg.n_offsets
+    bg = (jnp.ones(3, jnp.float32) if white_bg
+          else jnp.zeros(3, jnp.float32))
+    max_tokens = min(opt.crossattn_max_tokens, C)
+
+    def make_local(use_crossattn):
+        def local_fn(params, mlps, alive, xyz_max, feat_b, screen_zero_b,
+                     gate_b, w2c, fproj, center, tfx, tfy, image, mask,
+                     mono, is_ref_b, fg_box_b):
+            cam = Camera(w2c=w2c[0], full_proj=fproj[0],
+                         cam_center=center[0], tan_fovx=tfx[0],
+                         tan_fovy=tfy[0], width=width, height=height)
+            p = params._replace(feat=feat_b[0]) if use_crossattn else params
+            scaffold = ScaffoldState(params=p, mlps=mlps, alive=alive,
+                                     xyz_max=xyz_max)
+            out, dec, splats, binning = render_view_sharded(
+                scaffold, cam, bg, cfg, capacity, n_bands, interpret,
+                screen_zero=screen_zero_b[0])
+            _, _, _, rows_per_band = _band_geometry(width, height, n_bands)
+            row0 = jax.lax.axis_index(TILE_AXIS) * rows_per_band * TILE_H
+            loss_v, l1_v = band_loss_terms(
+                out, row0, image[0], mask[0], mono[0], fg_box_b[0], opt,
+                is_ref_b[0], height, width, TILE_AXIS, n_bands)
+            # gated mean over the data axis: views whose cross-attention
+            # sampling degenerated contribute nothing (ref: skipped iter).
+            # The REPORTED loss/l1 are the ungated means — the
+            # single-device step also computes and logs the loss of a
+            # cross_ok=False iteration, it only masks the update.
+            g = gate_b[0]
+            gsum = jnp.maximum(jax.lax.psum(g, DATA_AXIS), 1.0)
+            loss = jax.lax.psum(g * loss_v, DATA_AXIS) / gsum
+            B_ = jax.lax.psum(1.0, DATA_AXIS)
+            loss_rep = jax.lax.psum(loss_v, DATA_AXIS) / B_
+            l1 = jax.lax.psum(l1_v, DATA_AXIS) / B_
+            # densification aux (identical on every band device of a view)
+            gauss_valid = (dec.active & (splats.radius > 0)).reshape(C, k)
+            n_active = jnp.sum(dec.active.astype(jnp.int32))
+            return (loss, loss_rep, l1, binning.num_instances[None],
+                    n_active[None], dec.neural_opacity[None],
+                    gauss_valid[None])
+        return local_fn
+
+    def make_sharded(use_crossattn):
+        in_specs = (P(), P(), P(), P()) + (P(DATA_AXIS),) * 13
+        out_specs = (P(), P(), P(), P(DATA_AXIS), P(DATA_AXIS),
+                     P(DATA_AXIS), P(DATA_AXIS))
+        return shard_map(make_local(use_crossattn), mesh=mesh,
+                         in_specs=in_specs, out_specs=out_specs,
+                         check_vma=False)
+
+    @functools.partial(jax.jit, static_argnames=(
+        "use_crossattn", "feat_frozen", "accumulate"))
+    def step(ts, batch, use_crossattn: bool = False,
+             feat_frozen: bool = False, accumulate: bool = False):
+        (w2c, fproj, center, tfx, tfy, image, mask, mono,
+         is_ref, fg_box, cross_box, cross_enable) = batch
         sc = ts.scaffold
-        (loss), grads = jax.value_and_grad(loss_fn, argnums=(0, 1))(
-            sc.params, sc.mlps, sc.alive, sc.xyz_max, batch)
+        key, k_cross = jax.random.split(ts.key)
         step1 = ts.step + 1
-        anchor_lrs, mlp_lrs = lr_tree(step1, opt, 1.0)
+        sharded = make_sharded(use_crossattn)
+
+        # --- per-view anchor prefilter (vmapped; replicated params) ------
+        need_prefilter = accumulate or use_crossattn
+        if need_prefilter:
+            anchor_scales = jnp.exp(sc.params.scaling[:, :3])
+            rot_n = sc.params.rotation / jnp.maximum(
+                jnp.linalg.norm(sc.params.rotation, axis=1, keepdims=True),
+                1e-12)
+
+            def prefilter_one(w2c_v, fproj_v, tfx_v, tfy_v):
+                pre = _pre(sc.params.anchor, anchor_scales, rot_n, w2c_v,
+                           fproj_v, width, height, tfx_v, tfy_v,
+                           tile_w=TILE_W, tile_h=TILE_H,
+                           active_mask=sc.alive)
+                return pre.mean2d, pre.radius
+
+            mean2d_b, radius_b = jax.vmap(prefilter_one)(w2c, fproj,
+                                                         tfx, tfy)
+            anchor_visible_b = (radius_b > 0) & sc.alive[None]
+
+        if use_crossattn:
+            # per-view token sampling; the PRNG convention matches the
+            # single-device step: view j of a batch uses fold_in(k, j)
+            def sample_one(i, m2d, rad, mask_v, box_v):
+                kv = jax.random.fold_in(k_cross, i)
+                return sample_cross_tokens(
+                    kv, m2d[:, 0], m2d[:, 1], rad > 0, sc.alive,
+                    mask_v[0], box_v, width, height, max_tokens)
+
+            fg_idx, bg_idx, fg_valid, bg_valid, ok = jax.vmap(sample_one)(
+                jnp.arange(B), mean2d_b, radius_b, mask, cross_box)
+            act = cross_enable > 0          # per-view crossattn enable
+            ok_act = ok & act
+            # a crossattn-enabled view that failed sampling is dropped;
+            # a crossattn-disabled view trains normally
+            gate = jnp.where(act, ok_act.astype(jnp.float32), 1.0)
+        else:
+            gate = jnp.ones((B,), jnp.float32)
+
+        def loss_fn(params, mlps, screen_zero_b):
+            if use_crossattn:
+                def upd(fi, bi, fv, bv, ir, okv):
+                    return crossattn_update(
+                        mlps, params.feat, fi, bi, fv, bv,
+                        opt.crossattn_feat_update_ema, ir, okv)
+                feat_b = jax.vmap(upd)(fg_idx, bg_idx, fg_valid, bg_valid,
+                                       is_ref, ok_act)        # (B,C,F)
+            else:
+                feat_b = jnp.zeros((B, 1, 1), jnp.float32)    # placeholder
+            loss, loss_rep, l1, ninst, nact, nop, gvalid = sharded(
+                params, mlps, sc.alive, sc.xyz_max, feat_b, screen_zero_b,
+                gate, w2c, fproj, center, tfx, tfy, image, mask,
+                mono, is_ref, fg_box)
+            return loss, (loss_rep, l1, ninst, nact, nop, gvalid, feat_b)
+
+        screen_zero_b = jnp.zeros((B, C * k, 2), jnp.float32)
+        (loss, aux), grads = jax.value_and_grad(
+            loss_fn, argnums=(0, 1, 2), has_aux=True)(
+                sc.params, sc.mlps, screen_zero_b)
+        loss_rep, l1, ninst_b, nact_b, nop_b, gvalid_b, feat_b = aux
+        g_anchor, g_mlps, g_screen_b = grads
+
+        # --- densification stats: B sequential-iteration-equivalent ------
+        stats = ts.stats
+        if accumulate:
+            ndc_scale = jnp.array([0.5 * width, 0.5 * height])
+            for v in range(B):
+                grad_norm = jnp.linalg.norm(
+                    g_screen_b[v] * ndc_scale, axis=1).reshape(C, k)
+                stats = accumulate_stats(stats, nop_b[v], grad_norm,
+                                         gvalid_b[v], anchor_visible_b[v])
+
+        # --- main optimizer (masks identical to train_step) --------------
+        anchor_lrs, mlp_lrs = lr_tree(step1, opt, spatial_lr_scale)
         lr_full = (broadcast_group(anchor_lrs, sc.params),
                    broadcast_group(mlp_lrs, sc.mlps))
-        (new_p, new_mlps), new_m, new_v = apply_adam(
-            (sc.params, sc.mlps), grads, ts.m, ts.v, lr_full, step1)
-        return ts._replace(
-            scaffold=sc._replace(params=new_p, mlps=new_mlps),
-            m=new_m, v=new_v, step=step1), loss
+        if use_crossattn:
+            upd_ok = jnp.sum(gate) > 0
+            anchor_mask = AnchorParams(
+                anchor=upd_ok, offset=upd_ok, feat=False,
+                scaling=upd_ok, rotation=False, opacity=False,
+                uncertainty=False)
+            mlp_mask = MLPParams(opacity=upd_ok, uncertainty=upd_ok,
+                                 cov=upd_ok, color=upd_ok, crossattn=False,
+                                 feat_bank=upd_ok)
+        else:
+            anchor_mask = AnchorParams(
+                anchor=True, offset=True, feat=not feat_frozen,
+                scaling=True, rotation=False, opacity=False,
+                uncertainty=False)
+            mlp_mask = MLPParams(opacity=True, uncertainty=True, cov=True,
+                                 color=True, crossattn=False,
+                                 feat_bank=True)
+        mask_full = (broadcast_group(anchor_mask, sc.params),
+                     broadcast_group(mlp_mask, sc.mlps))
+
+        if use_crossattn:
+            # commit the EMA feature writes: deltas summed over gated views
+            # (disjoint index sets in practice; == sequential for B=1)
+            new_feat = sc.params.feat + jnp.sum(
+                feat_b - sc.params.feat[None], axis=0)
+            params_tree = (sc.params._replace(
+                feat=jax.lax.stop_gradient(new_feat)), sc.mlps)
+        else:
+            params_tree = (sc.params, sc.mlps)
+        (new_anchor, new_mlps), new_m, new_v = apply_adam(
+            params_tree, (g_anchor, g_mlps), ts.m, ts.v, lr_full, step1,
+            mask_full)
+
+        # --- cross-attention optimizer (own Adam + step count) -----------
+        any_cross = jnp.bool_(False)
+        step_c1 = ts.step_c
+        if use_crossattn:
+            any_cross = jnp.any(ok_act)
+            step_c1 = ts.step_c + any_cross.astype(jnp.int32)
+            ca = new_mlps.crossattn
+            ca_lr = jax.tree.map(lambda _: mlp_lrs.crossattn, ca)
+            ca_mask = jax.tree.map(lambda _: any_cross, ca)
+            ca_new, ca_m, ca_v = apply_adam(
+                ca, g_mlps.crossattn, ts.m[1].crossattn, ts.v[1].crossattn,
+                ca_lr, jnp.maximum(step_c1, 1), ca_mask)
+            new_mlps = new_mlps._replace(crossattn=ca_new)
+            new_m = (new_m[0], new_m[1]._replace(crossattn=ca_m))
+            new_v = (new_v[0], new_v[1]._replace(crossattn=ca_v))
+
+        new_sc = sc._replace(params=new_anchor, mlps=new_mlps)
+        new_ts = ts._replace(scaffold=new_sc, m=new_m, v=new_v, step=step1,
+                             step_c=step_c1, stats=stats, key=key)
+        aux_out = StepAux(loss=loss_rep, l1=l1,
+                          num_instances=jnp.max(ninst_b),
+                          n_active=nact_b[0], cross_ok=any_cross)
+        return new_ts, aux_out
 
     return step

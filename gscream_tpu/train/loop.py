@@ -33,6 +33,22 @@ from .state import TrainState, init_train_state
 from .step import train_step
 
 
+def capacity_tier(n: int) -> int:
+    """Smallest static instance capacity holding ``n``, on a 12.5%
+    (pow2/8) granularity grid.
+
+    Power-of-two tiers waste up to 2× on the capacity-shaped costs (the
+    two multi-operand sorts, instance pack, segment reducer all run over
+    ``capacity`` rows regardless of the live count); an eighth-steps grid
+    caps the waste at 12.5% while keeping recompiles rare.  Tiers are
+    multiples of 1024, so every kernel's packed-row/lane alignment
+    (cap % 8, reducer blocks) holds.
+    """
+    n = max(int(n), 1)
+    g = max(1024, 1 << max(int(n - 1).bit_length() - 3, 0))
+    return -(-n // g) * g
+
+
 def get_logger(out_dir: str) -> logging.Logger:
     """Reference get_logger (train.py:994-1010): file + console."""
     logger = logging.getLogger("gscream_tpu")
@@ -147,11 +163,25 @@ def train_scene(views, ref_index: int, points: np.ndarray, run: RunConfig,
                 logger: Optional[logging.Logger] = None,
                 pretrained_ply: str = "",
                 start_checkpoint: str = "",
-                checkpoint_interval: int = 0):
+                checkpoint_interval: int = 0,
+                mesh=None):
     """Train one scene.  ``views`` is a list of objects with
     ``.camera/.image/.mask/.depth/.name``; the reference view's image/depth
     are substituted by the provided inpainted artifacts (train.py:354-365,
-    425-430).  Returns (TrainState, TrainLog)."""
+    425-430).  Returns (TrainState, TrainLog).
+
+    ``mesh``: an optional ``jax.sharding.Mesh`` with (data, tiles) axes —
+    training then runs through the full SPMD sharded step
+    (:func:`gscream_tpu.parallel.shard.make_sharded_train_step`): each
+    iteration consumes ``data``-many views from the shuffled camera stream
+    (B=1 is step-equivalent to the single-device path,
+    tests/test_sharded.py::test_trajectory_matches_single_device), tile-row
+    bands shard the rasterizer over ``tiles``.  All orchestration —
+    overflow tiers, densification, checkpoints, logging — is identical.
+    With B>1 ``iterations`` counts optimizer steps (each a B-view batch);
+    host-side sampling for slot j of step ``it`` is keyed by its stream
+    position ``(it-1)·B+j+1`` so the view/rng streams are the
+    single-device ones, consumed B at a time."""
     from ..precision import ensure_fp32_matmuls
     ensure_fp32_matmuls()
     m, opt = run.model, run.optim
@@ -242,6 +272,21 @@ def train_scene(views, ref_index: int, points: np.ndarray, run: RunConfig,
     phase2_any = (opt.enable_crossattn_refview > 0
                   or opt.enable_crossattn_otherview > 0)
 
+    mesh_B = 0
+    if mesh is not None:
+        from ..parallel.mesh import DATA_AXIS
+        from ..parallel.shard import make_sharded_train_step
+        mesh_B = mesh.shape[DATA_AXIS]
+        sharded_cache: Dict[int, Callable] = {}
+
+        def sharded_step_for(cap: int):
+            if cap not in sharded_cache:
+                sharded_cache[cap] = make_sharded_train_step(
+                    mesh, cfg, opt, cap, w, h, interpret,
+                    white_bg=m.white_background,
+                    spatial_lr_scale=spatial_lr_scale)
+            return sharded_cache[cap]
+
     n_views = len(dev_views)
     order_cache: Dict[int, List[int]] = {}
 
@@ -256,39 +301,93 @@ def train_scene(views, ref_index: int, points: np.ndarray, run: RunConfig,
             order_cache[epoch] = list(r.permutation(n_views))
         return order_cache[epoch][pos]
 
-    def prepare(it: int) -> Dict:
-        """Host-side sampling for one iteration (stored so an overflow
-        rollback re-runs the step with identical inputs; all randomness
-        is derived from (seed, it) for exact resume)."""
-        rng = np.random.default_rng(np.random.SeedSequence([run.seed, it]))
-        vi = view_for(it)
+    def sample_slot(p: int) -> Dict:
+        """Host-side sampling for stream position ``p`` (stored so an
+        overflow rollback re-runs the step with identical inputs; all
+        randomness is derived from (seed, p) for exact resume)."""
+        rng = np.random.default_rng(np.random.SeedSequence([run.seed, p]))
+        vi = view_for(p)
         v = dev_views[vi]
         # per-view cross-attn gating: the reference enables ref/other
         # views independently (train.py:445-447)
-        use_cross = (it > opt.start_crossattn_from
+        use_cross = (p > opt.start_crossattn_from
                      and (opt.enable_crossattn_refview > 0 if v["is_ref"]
                           else opt.enable_crossattn_otherview > 0))
         # after the first run_crossattn the reference's _anchor_feat is
         # permanently detached (gaussian_model.py:556) — main Adam stops
         # updating feat for the rest of training on every view
-        feat_frozen = it > opt.start_crossattn_from and phase2_any
-        accumulate = opt.start_stat < it < opt.update_until
+        feat_frozen = p > opt.start_crossattn_from and phase2_any
+        accumulate = opt.start_stat < p < opt.update_until
         if v["is_ref"]:
-            fg_box = jnp.asarray(random_box_mask(
-                rng, v["mask_np"], 1.5, 0.8, h, w))
+            fg_box = random_box_mask(rng, v["mask_np"], 1.5, 0.8, h, w)
         else:
-            fg_box = jnp.zeros((h, w))
+            fg_box = np.zeros((h, w), np.float32)
         if use_cross and opt.enable_edge_samping > 0:
             box = sample_patch_in_mask_region(
                 rng, v["mask_np"], 256, opt.sampling_2D_small_ratio, h, w)
-            cross_box = jnp.asarray(np.array(box, np.int32))
+            cross_box = np.array(box, np.int32)
         else:
-            cross_box = zero_box
-        return dict(it=it, vi=vi, fg_box=fg_box, cross_box=cross_box,
+            cross_box = None
+        return dict(vi=vi, fg_box=fg_box, cross_box=cross_box,
                     use_cross=use_cross, feat_frozen=feat_frozen,
                     accumulate=accumulate)
 
+    def prepare(it: int) -> Dict:
+        if mesh_B:
+            return prepare_sharded(it)
+        s = sample_slot(it)
+        return dict(it=it, vi=s["vi"], fg_box=jnp.asarray(s["fg_box"]),
+                    cross_box=(jnp.asarray(s["cross_box"])
+                               if s["cross_box"] is not None else zero_box),
+                    use_cross=s["use_cross"], feat_frozen=s["feat_frozen"],
+                    accumulate=s["accumulate"])
+
+    def prepare_sharded(it: int) -> Dict:
+        """B view slots (stream positions (it-1)B+1 .. itB) stacked into
+        the 12-tuple batch of
+        :func:`gscream_tpu.parallel.shard.make_sharded_train_step`.  The
+        step-level phase flags are static per compiled variant; per-view
+        crossattn participation rides the batch's ``cross_enable``."""
+        slots = [sample_slot((it - 1) * mesh_B + j + 1)
+                 for j in range(mesh_B)]
+        vs = [dev_views[s["vi"]] for s in slots]
+        cams = [v["camera"] for v in vs]
+        use_cross = any(s["use_cross"] for s in slots)
+        batch = (
+            jnp.stack([c.w2c for c in cams]),
+            jnp.stack([c.full_proj for c in cams]),
+            jnp.stack([c.cam_center for c in cams]),
+            jnp.stack([jnp.asarray(c.tan_fovx) for c in cams]),
+            jnp.stack([jnp.asarray(c.tan_fovy) for c in cams]),
+            jnp.stack([v["image"] for v in vs]),
+            jnp.stack([v["mask"] for v in vs]),
+            jnp.stack([v["depth"] for v in vs]),
+            jnp.asarray([v["is_ref"] for v in vs]),
+            jnp.asarray(np.stack([s["fg_box"] for s in slots])),
+            jnp.asarray(np.stack(
+                [s["cross_box"] if s["cross_box"] is not None
+                 else np.zeros(4, np.int32) for s in slots])),
+            jnp.asarray([1.0 if s["use_cross"] else 0.0 for s in slots],
+                        jnp.float32),
+        )
+        return dict(it=it, vi=slots[0]["vi"],
+                    vis=[s["vi"] for s in slots], batch=batch,
+                    fg_box=batch[9], cross_box=batch[10],
+                    use_cross=use_cross,
+                    feat_frozen=slots[0]["feat_frozen"],
+                    accumulate=slots[0]["accumulate"])
+
     def launch(rec: Dict, ts_in: TrainState) -> Dict:
+        if mesh_B:
+            t0 = time.time()
+            step = sharded_step_for(cap_state["cap"])
+            ts_new, aux = step(ts_in, rec["batch"],
+                               use_crossattn=rec["use_cross"],
+                               feat_frozen=rec["feat_frozen"],
+                               accumulate=rec["accumulate"])
+            rec["ts_prev"], rec["ts_new"], rec["aux"] = ts_in, ts_new, aux
+            rec["dispatch_s"] = time.time() - t0
+            return rec
         v = dev_views[rec["vi"]]
         t0 = time.time()
         ts_new, aux = train_step(
@@ -313,9 +412,11 @@ def train_scene(views, ref_index: int, points: np.ndarray, run: RunConfig,
         truncated instance list."""
         n_inst = int(rec["aux"].num_instances)
         while n_inst > cap_state["cap"]:
-            new_cap = cap_state["cap"]
-            while n_inst > new_cap:
-                new_cap *= 2
+            # 25% headroom above the observed count: densification keeps
+            # emission growing between tier checks, so a bare-minimum
+            # tier would recompile every few hundred iterations
+            new_cap = max(capacity_tier(n_inst + n_inst // 4),
+                          capacity_tier(cap_state["cap"] + 1))
             logger.warning(
                 "iter %d: instance overflow %d > %d — re-running this "
                 "step at capacity tier %d (recompiles once)",

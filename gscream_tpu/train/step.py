@@ -59,7 +59,8 @@ def render_from_params(params, mlps, scaffold: ScaffoldState, camera: Camera,
     splats = preprocess(
         dec.xyz, dec.scale, dec.rot, camera.w2c, camera.full_proj,
         camera.width, camera.height, camera.tan_fovx, camera.tan_fovy,
-        tile_w=TILE_W, tile_h=TILE_H, active_mask=dec.active)
+        tile_w=TILE_W, tile_h=TILE_H, active_mask=dec.active,
+        opacity=dec.opacity)
     mean2d = splats.mean2d + screen_zero
     from ..ops.rasterize_tiled import gauss_attrs
     binning = bin_instances(
@@ -75,13 +76,16 @@ def render_from_params(params, mlps, scaffold: ScaffoldState, camera: Camera,
 
 
 def crossattn_update(mlps: MLPParams, feat, fg_idx, bg_idx, fg_valid,
-                     bg_valid, ema: float, is_ref: bool, cross_ok):
+                     bg_valid, ema: float, is_ref, cross_ok):
     """run_crossattn (gaussian_model.py:553-583), functional.
 
     The anchor features are detached (stop_gradient) before attention, the
     attention outputs are EMA-mixed back at the sampled indices — the
     foreground side only on the reference view — and the result carries
-    gradients to the cross-attention parameters only.
+    gradients to the cross-attention parameters only.  ``is_ref`` may be a
+    Python bool or a traced scalar (per-view flag in a sharded batch);
+    the fg write is gated by index-dropping, which is a no-op — in values
+    and in gradients — when the gate is False.
     """
     base = jax.lax.stop_gradient(feat)
     fg_tok = base[fg_idx]
@@ -91,10 +95,10 @@ def crossattn_update(mlps: MLPParams, feat, fg_idx, bg_idx, fg_valid,
                                         context_mask=bg_valid)
     new_feat = base
     C = feat.shape[0]
-    if is_ref:   # fg updated only under the reference view (gm.py:576-579)
-        fg_mix = ema * fg_out + (1 - ema) * fg_tok
-        fg_dst = jnp.where(fg_valid & cross_ok, fg_idx, C)   # drop invalid
-        new_feat = new_feat.at[fg_dst].set(fg_mix, mode='drop')
+    # fg updated only under the reference view (gm.py:576-579)
+    fg_mix = ema * fg_out + (1 - ema) * fg_tok
+    fg_dst = jnp.where(fg_valid & cross_ok & is_ref, fg_idx, C)
+    new_feat = new_feat.at[fg_dst].set(fg_mix, mode='drop')
     bg_mix = ema * bg_out + (1 - ema) * bg_tok
     bg_dst = jnp.where(bg_valid & cross_ok, bg_idx, C)
     new_feat = new_feat.at[bg_dst].set(bg_mix, mode='drop')
@@ -203,6 +207,10 @@ def train_step(ts: TrainState, camera: Camera, gt_image, gt_mask,
     cross_box (4,) int32 patch for cross-attn sampling (phase 2).
     """
     key, k_cross = jax.random.split(ts.key)
+    # view j of a sharded batch samples with fold_in(k_cross, j); the
+    # single-device step is "view 0 of a B=1 batch" so the trajectories
+    # coincide (tests/test_sharded.py::test_trajectory_matches_single)
+    k_cross = jax.random.fold_in(k_cross, 0)
     bg = (jnp.ones(3, jnp.float32) if white_bg
           else jnp.zeros(3, jnp.float32))
     scaffold = ts.scaffold

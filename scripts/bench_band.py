@@ -82,11 +82,15 @@ def main():
         jnp.stack([jnp.float32(cam.tan_fovx)]),
         jnp.stack([jnp.float32(cam.tan_fovy)]),
         jnp.stack([img]), jnp.stack([msk]), jnp.stack([msk]),
+        jnp.zeros((1,), bool),
+        jnp.zeros((1, height, width), jnp.float32),
+        jnp.zeros((1, 4), jnp.int32),
+        jnp.zeros((1,), jnp.float32),
     )
 
     def run_band(ts, batch):
-        _, loss = sstep(ts, batch)
-        return loss
+        _, aux = sstep(ts, batch)
+        return aux.loss
 
     t_band = timeit(run_band, ts, batch, iters=5)
 

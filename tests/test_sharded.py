@@ -9,7 +9,7 @@ from gscream_tpu.data.synthetic import make_scene
 from gscream_tpu.model.scaffold import ScaffoldConfig, init_scaffold
 from gscream_tpu.parallel.mesh import make_mesh
 from gscream_tpu.parallel.shard import make_sharded_loss, \
-    make_sharded_train_step
+    make_sharded_train_step, sharded_view_batch
 from gscream_tpu.train.state import init_train_state
 
 CFG = ScaffoldConfig(feat_dim=8, n_offsets=2, voxel_size=0.1, capacity=512)
@@ -32,6 +32,8 @@ def _batch(scene, n):
         jnp.stack([jnp.asarray(v.image) for v in views]),
         jnp.stack([jnp.asarray(v.mask) for v in views]),
         jnp.stack([jnp.asarray(v.depth) for v in views]),
+        jnp.zeros((n,), bool),
+        jnp.zeros((n, H, W), jnp.float32),
     )
 
 
@@ -125,6 +127,8 @@ def test_data_parallel_mean(scene):
             jnp.stack([jnp.asarray(v.image) for v in vs]),
             jnp.stack([jnp.asarray(v.mask) for v in vs]),
             jnp.stack([jnp.asarray(v.depth) for v in vs]),
+            jnp.zeros((1,), bool),
+            jnp.zeros((1, H, W), jnp.float32),
         )
         return float(loss_fn(scaffold.params, scaffold.mlps, scaffold.alive,
                              scaffold.xyz_max, b))
@@ -145,13 +149,119 @@ def test_sharded_train_step_runs(scene):
     ts = init_train_state(scaffold, CFG, jax.random.PRNGKey(1))
     step = make_sharded_train_step(mesh, CFG, OptimConfig(), 16384, W, H,
                                    interpret=True)
-    batch = _batch(scene, 2)
+    batch = sharded_view_batch(scene.views[:2])
     losses = []
     for _ in range(3):
-        ts, loss = step(ts, batch)
-        losses.append(float(loss))
+        ts, aux = step(ts, batch, accumulate=True)
+        losses.append(float(aux.loss))
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0]
+    # densify stats accumulated for both views of each step
+    assert float(jnp.max(ts.stats.anchor_demon)) >= 3
+
+
+def _host_inputs(it, mask_np, seed=7):
+    """Deterministic per-iteration host sampling shared by both loops."""
+    from gscream_tpu.train.loop import random_box_mask, \
+        sample_patch_in_mask_region
+    rng = np.random.default_rng(np.random.SeedSequence([seed, it]))
+    fg_box = random_box_mask(rng, mask_np, 1.5, 0.8, H, W)
+    box = sample_patch_in_mask_region(rng, mask_np, 48, 0.8, H, W)
+    return fg_box, np.array(box, np.int32)
+
+
+def test_trajectory_matches_single_device(scene):
+    """VERDICT r2 item 2: the sharded step at B=1 IS the training step —
+    ~20 iterations of phase 1 (with densify stats) followed by phase-2
+    cross-attention iterations track the single-device train_step."""
+    if len(jax.devices()) < 4:
+        pytest.skip("needs >=4 devices")
+    from gscream_tpu.train.step import train_step
+
+    opt = OptimConfig()
+    views = scene.views
+    mask_np = np.asarray(views[0].mask[0])
+    scaffold = init_scaffold(jax.random.PRNGKey(0), scene.points, CFG)
+    ts_a = init_train_state(scaffold, CFG, jax.random.PRNGKey(1))
+    ts_b = init_train_state(scaffold, CFG, jax.random.PRNGKey(1))
+    step_b = make_sharded_train_step(make_mesh(1, 4), CFG, opt, 16384,
+                                     W, H, interpret=True)
+
+    losses_a, losses_b = [], []
+    n_phase1, n_phase2 = 14, 4
+    for it in range(1, n_phase1 + n_phase2 + 1):
+        vi = (it - 1) % len(views)
+        v = views[vi]
+        is_ref = vi == 0
+        use_cross = it > n_phase1
+        fg_box, cross_box = _host_inputs(it, np.asarray(v.mask[0]))
+        fg_box = fg_box if is_ref else np.zeros((H, W), np.float32)
+        ts_a, aux_a = train_step(
+            ts_a, v.camera, jnp.asarray(v.image), jnp.asarray(v.mask),
+            jnp.asarray(v.depth), jnp.asarray(fg_box),
+            jnp.asarray(cross_box), cfg=CFG, opt=opt, is_ref=is_ref,
+            use_crossattn=use_cross, capacity=16384, interpret=True,
+            width=W, height=H, accumulate=not use_cross,
+            feat_frozen=use_cross)
+        batch = sharded_view_batch(
+            [v], fg_boxes=[fg_box], is_ref=[is_ref],
+            cross_boxes=[cross_box], cross_enable=[1.0 if use_cross
+                                                   else 0.0])
+        ts_b, aux_b = step_b(ts_b, batch, use_crossattn=use_cross,
+                             feat_frozen=use_cross,
+                             accumulate=not use_cross)
+        losses_a.append(float(aux_a.loss))
+        losses_b.append(float(aux_b.loss))
+        assert bool(aux_a.cross_ok) == bool(aux_b.cross_ok), it
+
+    # loss trajectories coincide up to band-psum reassociation
+    np.testing.assert_allclose(losses_a, losses_b, rtol=5e-3)
+    # parameters track: compare across the whole tree
+    for a, b in zip(jax.tree.leaves((ts_a.scaffold.params,
+                                     ts_a.scaffold.mlps)),
+                    jax.tree.leaves((ts_b.scaffold.params,
+                                     ts_b.scaffold.mlps))):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-3, atol=5e-4)
+    # densify stats identical paths
+    np.testing.assert_allclose(np.asarray(ts_a.stats.anchor_demon),
+                               np.asarray(ts_b.stats.anchor_demon))
+    np.testing.assert_allclose(np.asarray(ts_a.stats.offset_grad_accum),
+                               np.asarray(ts_b.stats.offset_grad_accum),
+                               rtol=1e-2, atol=1e-6)
+
+
+def test_sharded_crossattn_batch(scene):
+    """Mixed B=2 batch in phase 2: one crossattn-enabled view + one
+    normal view; the step runs, gates correctly, and updates feat only
+    through the EMA writes."""
+    if len(jax.devices()) < 4:
+        pytest.skip("needs >=4 devices")
+    opt = OptimConfig()
+    views = scene.views[:2]
+    scaffold = init_scaffold(jax.random.PRNGKey(0), scene.points, CFG)
+    # anchor feats init to ZERO (Scaffold-GS convention) — attention over
+    # zero tokens returns zeros, making the EMA mix a no-op; randomize so
+    # the write visibility assertion below is meaningful
+    scaffold = scaffold._replace(params=scaffold.params._replace(
+        feat=0.3 * jax.random.normal(jax.random.PRNGKey(9),
+                                     scaffold.params.feat.shape)))
+    ts = init_train_state(scaffold, CFG, jax.random.PRNGKey(1))
+    step = make_sharded_train_step(make_mesh(2, 2), CFG, opt, 16384,
+                                   W, H, interpret=True)
+    fg_box, cross_box = _host_inputs(1, np.asarray(views[0].mask[0]))
+    batch = sharded_view_batch(
+        views, fg_boxes=[fg_box, np.zeros((H, W), np.float32)],
+        is_ref=[True, False], cross_boxes=[cross_box, cross_box],
+        cross_enable=[1.0, 0.0])
+    feat0 = np.asarray(ts.scaffold.params.feat)
+    ts2, aux = step(ts, batch, use_crossattn=True, feat_frozen=True)
+    assert np.isfinite(float(aux.loss))
+    # feat changed ONLY via EMA writes (sampled rows), never via Adam
+    changed = np.any(np.asarray(ts2.scaffold.params.feat) != feat0, axis=1)
+    if bool(aux.cross_ok):
+        assert changed.any()
+    assert changed.sum() <= 2 * min(opt.crossattn_max_tokens, CFG.capacity)
 
 
 def test_pad_tiles_do_not_wipe_gradients():
@@ -194,3 +304,36 @@ def test_pad_tiles_do_not_wipe_gradients():
                               jnp.zeros((2,), jnp.int32)])
     padded = run(ts_pad, tc_pad, 6)
     np.testing.assert_array_equal(padded, base)
+
+
+def test_train_scene_mesh_routing(scene, tmp_path):
+    """VERDICT r2 item 2 (loop half): ``train_scene(mesh=...)`` routes the
+    ENTIRE loop — prepare/launch/overflow/commit — through the sharded
+    step and reproduces the single-device loop's loss trajectory,
+    including the phase-1 → phase-2 (cross-attention) switch."""
+    if len(jax.devices()) < 2:
+        pytest.skip("needs >=2 devices")
+    from gscream_tpu.config import ModelConfig, OptimConfig as OC, RunConfig
+    from gscream_tpu.train.loop import train_scene
+
+    run = RunConfig(
+        model=ModelConfig(feat_dim=8, n_offsets=2, voxel_size=0.1,
+                          anchor_capacity=512),
+        optim=OC(iterations=10, start_crossattn_from=6, start_stat=1,
+                 update_from=10**9, update_until=10**9))
+
+    def go(mesh, out):
+        ts, log = train_scene(
+            scene.views, 0, scene.points, run, out_dir=str(tmp_path / out),
+            capacity=16384, interpret=True, mesh=mesh)
+        return ts, log.losses
+
+    ts_a, losses_a = go(None, "single")
+    ts_b, losses_b = go(make_mesh(1, 2), "mesh")
+    np.testing.assert_allclose(losses_a, losses_b, rtol=5e-3)
+    for a, b in zip(jax.tree.leaves((ts_a.scaffold.params,
+                                     ts_a.scaffold.mlps)),
+                    jax.tree.leaves((ts_b.scaffold.params,
+                                     ts_b.scaffold.mlps))):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-3, atol=5e-4)
