@@ -17,23 +17,18 @@ the order of 7e7 rays/s fwd+bwd at this scale for typical 3DGS scenes; the
 repo publishes no number (BASELINE.md), so that figure is the denominator.
 """
 import json
+import os
 import sys
 import time
 
 BASELINE_RAYS_PER_S = 7.0e7
 
 
-def build_workload(width, height, n_anchors=30000, k=10, seed=0):
+def _bench_scene(width, height, n_anchors, k, seed):
     import jax
-    import jax.numpy as jnp
     import numpy as np
     from gscream_tpu.cameras import make_camera
-    from gscream_tpu.model.scaffold import ScaffoldConfig, init_scaffold, \
-        decode
-    from gscream_tpu.ops.binning import bin_instances
-    from gscream_tpu.ops.projection import preprocess
-    from gscream_tpu.ops.rasterize_tiled import (
-        TILE_H, TILE_W, gauss_attrs, rasterize_tiled)
+    from gscream_tpu.model.scaffold import ScaffoldConfig, init_scaffold
 
     rng = np.random.default_rng(seed)
     cfg = ScaffoldConfig(feat_dim=32, n_offsets=k, voxel_size=0.01,
@@ -48,7 +43,48 @@ def build_workload(width, height, n_anchors=30000, k=10, seed=0):
     ))
     cam = make_camera(np.eye(3), np.array([0.0, 0.0, 3.0]), 1.0,
                       1.0 * height / width, width, height)
-    capacity = 1 << 21
+    return cfg, scaffold, cam
+
+
+def count_instances(width, height, n_anchors=30000, k=10, seed=0) -> int:
+    """Emission count of the bench scene — a tiny separate program, so
+    the big fwd+bwd graph compiles once at the right capacity tier (the
+    tier training's overflow logic would settle at)."""
+    import jax
+    import jax.numpy as jnp
+    from gscream_tpu.model.scaffold import decode
+    from gscream_tpu.ops.projection import preprocess
+    from gscream_tpu.ops.rasterize_tiled import TILE_H, TILE_W
+
+    cfg, scaffold, cam = _bench_scene(width, height, n_anchors, k, seed)
+
+    @jax.jit
+    def count(params, mlps):
+        st = scaffold._replace(params=params, mlps=mlps)
+        dec = decode(st, cam.cam_center, None, cfg)
+        splats = preprocess(
+            dec.xyz, dec.scale, dec.rot, cam.w2c, cam.full_proj,
+            width, height, cam.tan_fovx, cam.tan_fovy,
+            tile_w=TILE_W, tile_h=TILE_H, active_mask=dec.active,
+            opacity=dec.opacity)
+        rw = splats.rect_max[:, 0] - splats.rect_min[:, 0]
+        rh = splats.rect_max[:, 1] - splats.rect_min[:, 1]
+        return jnp.sum(jnp.where(splats.radius > 0, rw * rh, 0))
+
+    return int(count(scaffold.params, scaffold.mlps))
+
+
+def build_workload(width, height, n_anchors=30000, k=10, seed=0,
+                   capacity=1 << 21):
+    import jax
+    import jax.numpy as jnp
+    from gscream_tpu.model.scaffold import decode
+    from gscream_tpu.ops.binning import bin_instances
+    from gscream_tpu.ops.projection import preprocess
+    from gscream_tpu.ops.rasterize_tiled import (
+        TILE_H, TILE_W, gauss_attrs, rasterize_tiled)
+
+    cfg, scaffold, cam = _bench_scene(width, height, n_anchors, k, seed)
     interpret = jax.default_backend() != "tpu"
     target = jnp.zeros((height, width, 3))
 
@@ -58,7 +94,8 @@ def build_workload(width, height, n_anchors=30000, k=10, seed=0):
         splats = preprocess(
             dec.xyz, dec.scale, dec.rot, cam.w2c, cam.full_proj,
             width, height, cam.tan_fovx, cam.tan_fovy,
-            tile_w=TILE_W, tile_h=TILE_H, active_mask=dec.active)
+            tile_w=TILE_W, tile_h=TILE_H, active_mask=dec.active,
+            opacity=dec.opacity)
         # training configuration: exact (tile, depth) lexicographic sort,
         # attributes carried as sort payload (gather-free packing)
         binning = bin_instances(
@@ -81,17 +118,23 @@ def build_workload(width, height, n_anchors=30000, k=10, seed=0):
 
 def time_config(width, height, iters=10):
     import jax
-    grad_fn, args = build_workload(width, height)
+    # capacity tier: the tier training's overflow logic would settle at
+    # (train/loop.py::capacity_tier — pow2/8 granularity)
+    from gscream_tpu.train.loop import capacity_tier
+    n_emit = count_instances(width, height)
+    capacity = max(capacity_tier(n_emit), 1 << 14)
+    grad_fn, args = build_workload(width, height, capacity=capacity)
     # warmup + compile
     out = grad_fn(*args)
     jax.block_until_ready(out)
     n_inst = int(out[0][1])
+    assert n_inst <= capacity, (n_inst, capacity)
     t0 = time.perf_counter()
     for _ in range(iters):
         out = grad_fn(*args)
     jax.block_until_ready(out)
     dt = (time.perf_counter() - t0) / iters
-    return width * height / dt, dt, n_inst
+    return width * height / dt, dt, n_inst, capacity
 
 
 
@@ -104,7 +147,7 @@ def _enable_compile_cache():
     ensure_fp32_matmuls()
 
 
-def _backend_alive(timeout_s: int = 420) -> bool:
+def _backend_alive(timeout_s: int = 300) -> bool:
     """Probe jax backend init in a SUBPROCESS.
 
     When the axon relay dies (observed: the local endpoint vanishes),
@@ -123,25 +166,70 @@ def _backend_alive(timeout_s: int = 420) -> bool:
         return False
 
 
+_LAST_GOOD = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          ".bench_last_good.json")
+
+
+def _save_last_good(result: dict) -> None:
+    try:
+        with open(_LAST_GOOD, "w") as f:
+            json.dump(result, f)
+    except OSError:
+        pass
+
+
+def _outage_record() -> dict:
+    """A relay outage must be unmistakable for a perf regression: the
+    record carries ``status: infra_outage`` with null measurements, plus
+    the last hardware-confirmed numbers as clearly-labelled *stale*
+    context (never as this run's value)."""
+    rec = {
+        "metric": "rays_per_s_fwd_bwd_1297x840",
+        "value": None, "unit": "rays/s", "vs_baseline": None,
+        "status": "infra_outage",
+        "error": "backend init hang: TPU relay unreachable "
+                 "(probe subprocess timed out after retries)",
+    }
+    try:
+        with open(_LAST_GOOD) as f:
+            lg = json.load(f)
+        rec["last_confirmed"] = {
+            "value": lg.get("value"),
+            "vs_baseline": lg.get("vs_baseline"),
+            "iter_ms": lg.get("iter_ms"),
+            "measured_at": lg.get("measured_at"),
+        }
+    except (OSError, ValueError):
+        pass
+    return rec
+
+
 def main():
-    import os
     _enable_compile_cache()
-    if not _backend_alive():
-        print(json.dumps({
-            "metric": "rays_per_s_fwd_bwd_1297x840", "value": 0,
-            "unit": "rays/s", "vs_baseline": 0.0,
-            "error": "backend init hang: TPU relay unreachable "
-                     "(probe subprocess timed out)"}))
+    # retry with backoff — outages observed so far are relay restarts
+    # measured in minutes; three spaced probes ride out the short ones
+    alive = False
+    for attempt, (probe_s, wait_s) in enumerate(
+            [(240, 60), (240, 120), (240, 0)]):
+        if _backend_alive(probe_s):
+            alive = True
+            break
+        if wait_s:
+            print(f"# TPU backend probe {attempt + 1} timed out; retrying "
+                  f"in {wait_s}s", file=sys.stderr)
+            time.sleep(wait_s)
+    if not alive:
+        print(json.dumps(_outage_record()))
         return
     try:
         import jax
         backend = jax.default_backend()
-        rays, dt, n_inst = time_config(1297, 840, iters=10)
+        rays, dt, n_inst, cap = time_config(1297, 840, iters=10)
         extra = {}
         # the secondary config doubles (remote) compile time — opt-in
         if os.environ.get("GSCREAM_BENCH_EXTRA"):
             try:
-                rays_q, dt_q, _ = time_config(1008, 567, iters=10)
+                rays_q, dt_q, _, _ = time_config(1008, 567, iters=10)
                 extra = {"rays_per_s_1008x567": rays_q,
                          "iter_ms_1008x567": dt_q * 1e3}
             except Exception:
@@ -153,14 +241,19 @@ def main():
             "vs_baseline": rays / BASELINE_RAYS_PER_S,
             "iter_ms": dt * 1e3,
             "instances": n_inst,
+            "capacity": cap,
+            "tight_cull": not os.environ.get(
+                "GSCREAM_TIGHT_CULL") == "0",
             "backend": backend,
             "sort": "precise",
             **extra,
         }
+        _save_last_good({**result,
+                         "measured_at": time.strftime("%Y-%m-%dT%H:%M:%S")})
     except Exception as e:
-        result = {"metric": "rays_per_s_fwd_bwd_1297x840", "value": 0,
-                  "unit": "rays/s", "vs_baseline": 0.0,
-                  "error": f"{type(e).__name__}: {e}"}
+        result = {"metric": "rays_per_s_fwd_bwd_1297x840", "value": None,
+                  "unit": "rays/s", "vs_baseline": None,
+                  "status": "error", "error": f"{type(e).__name__}: {e}"}
     print(json.dumps(result))
 
 

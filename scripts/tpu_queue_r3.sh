@@ -1,0 +1,23 @@
+#!/bin/bash
+# Round-3 TPU work queue — run top-to-bottom when the axon relay returns.
+# Each step is independently timeboxed; results append to /tmp/tpu_r3.log.
+cd /root/repo
+L=/tmp/tpu_r3.log
+echo "=== tpu_queue_r3 $(date -Is) ===" | tee -a $L
+
+# 0. liveness
+timeout 300 python -c "import jax; print(jax.devices())" >> $L 2>&1 || {
+  echo "TPU still down" | tee -a $L; exit 1; }
+
+# 1. headline bench (tight culling live; compile ~3-8 min fresh)
+timeout 900 python bench.py >> $L 2>&1
+
+# 2. component profile
+timeout 900 python scripts/profile_bench.py >> $L 2>&1
+
+# 3. sort-cost A/Bs
+GSCREAM_SORT_LEX=1 timeout 600 python bench.py >> $L 2>&1
+GSCREAM_REORDER_GATHER=1 timeout 600 python bench.py >> $L 2>&1
+GSCREAM_TIGHT_CULL=0 timeout 600 python bench.py >> $L 2>&1
+
+tail -40 $L
