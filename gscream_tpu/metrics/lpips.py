@@ -100,12 +100,17 @@ def _norm_feat(f, eps=1e-10):
 def lpips(img0, img1, mask=None):
     """LPIPS distance between (3,H,W) images in [0,1].
 
-    ``mask`` (H,W): restrict the spatial average to the masked region (the
-    reference's masked-LPIPS path, train.py:950-953 ``spatial`` mode).
+    ``mask`` (H,W): the reference's masked-LPIPS protocol
+    (train.py:951-953) — the lpips package's **spatial** mode: each
+    layer's per-pixel map is bilinearly upsampled (align_corners=False)
+    to the INPUT resolution, the layer maps are summed into one spatial
+    LPIPS map, and that map is averaged inside the mask
+    (``cur_lpips_spatial[mask].mean()``).
     """
     convs, lins = load_weights()
     f0 = _vgg_features(img0 * 2.0 - 1.0, convs)
     f1 = _vgg_features(img1 * 2.0 - 1.0, convs)
+    hw = img0.shape[-2:]
     total = 0.0
     for a, b, lw in zip(f0, f1, lins):
         d = (_norm_feat(a) - _norm_feat(b)) ** 2          # (C,h,w)
@@ -113,13 +118,12 @@ def lpips(img0, img1, mask=None):
         if mask is None:
             total = total + jnp.mean(m)
         else:
-            mm = _resize_mask(mask, m.shape)
-            total = total + jnp.sum(m * mm) / jnp.maximum(jnp.sum(mm), 1.0)
+            # jax.image "linear" and torch bilinear(align_corners=False)
+            # share half-pixel sampling; antialias only kicks in on
+            # downscale, so upsampled maps match the package's
+            # nn.Upsample bit-for-bit in exact arithmetic
+            total = total + jax.image.resize(m, hw, method="linear")
+    if mask is not None:
+        mm = (mask > 0).astype(jnp.float32)
+        total = jnp.sum(total * mm) / jnp.maximum(jnp.sum(mm), 1.0)
     return total
-
-
-def _resize_mask(mask, hw):
-    h, w = hw
-    yi = (jnp.arange(h) * mask.shape[0] // h).clip(0, mask.shape[0] - 1)
-    xi = (jnp.arange(w) * mask.shape[1] // w).clip(0, mask.shape[1] - 1)
-    return (mask[yi][:, xi] > 0).astype(jnp.float32)

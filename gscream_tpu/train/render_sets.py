@@ -40,7 +40,8 @@ def make_render_fn(scaffold: ScaffoldState, cfg: ScaffoldConfig,
         splats = preprocess(
             dec.xyz, dec.scale, dec.rot, cam.w2c, cam.full_proj,
             width, height, cam.tan_fovx, cam.tan_fovy,
-            tile_w=TILE_W, tile_h=TILE_H, active_mask=dec.active)
+            tile_w=TILE_W, tile_h=TILE_H, active_mask=dec.active,
+            opacity=dec.opacity)
         binning = bin_instances(splats, capacity, width, height,
                                 TILE_W, TILE_H)
         out = rasterize_tiled(splats.mean2d, splats.conic, dec.opacity,
@@ -134,9 +135,18 @@ def render_set(out_dir: str, split_name: str, cameras: List[Camera],
                 _save_png(os.path.join(ndir, f"{idx:05d}.png"),
                           (nrm.transpose(1, 2, 0) + 1.0) * 0.5)
             if gt_images is not None and idx < len(gt_images):
-                err = np.abs(img - gt_images[idx]).mean(0)
-                _save_png(os.path.join(out_dir, split_name,
-                                       f"err_{idx:05d}.png"),
+                # gt/ beside renders/ (reference render_set writes both,
+                # train.py:714-745) so evaluate.py can run standalone on
+                # the model directory; errors/ likewise
+                gdir = os.path.join(out_dir, split_name, "gt")
+                edir = os.path.join(out_dir, split_name, "errors")
+                os.makedirs(gdir, exist_ok=True)
+                os.makedirs(edir, exist_ok=True)
+                gt = np.asarray(gt_images[idx])
+                _save_png(os.path.join(gdir, f"{idx:05d}.png"),
+                          gt.transpose(1, 2, 0))
+                err = np.abs(img - gt).mean(0)
+                _save_png(os.path.join(edir, f"{idx:05d}.png"),
                           np.stack([err] * 3, -1))
     # FPS skipping 5 warmup frames (train.py:861)
     t = times[5:] if len(times) > 5 else times

@@ -58,24 +58,26 @@ def _torch_lpips(z, img0, img1, mask=None):
 
     f0 = feats(torch.from_numpy(img0[None]))
     f1 = feats(torch.from_numpy(img1[None]))
+    in_hw = img0.shape[-2:]
     total = 0.0
+    spatial = torch.zeros(in_hw)
     for a, b, j in zip(f0, f1, range(5)):
         na = a / (a.square().sum(1, keepdim=True).sqrt() + 1e-10)
         nb = b / (b.square().sum(1, keepdim=True).sqrt() + 1e-10)
         d = (na - nb).square()
         lw = torch.from_numpy(z[f"lin{j}_w"]).view(1, -1, 1, 1)
-        m = (d * lw).sum(1)[0]
+        m = (d * lw).sum(1, keepdim=True)
         if mask is None:
             total += m.mean().item()
         else:
-            h, w = m.shape
-            yi = (np.arange(h) * mask.shape[0] // h).clip(
-                0, mask.shape[0] - 1)
-            xi = (np.arange(w) * mask.shape[1] // w).clip(
-                0, mask.shape[1] - 1)
-            mm = torch.from_numpy(
-                (mask[yi][:, xi] > 0).astype(np.float32))
-            total += ((m * mm).sum() / mm.sum().clamp(min=1.0)).item()
+            # the lpips package's spatial=True mode: per-layer maps are
+            # bilinearly upsampled (align_corners=False) to the input
+            # resolution and summed (lpips/lpips.py upsample())
+            spatial = spatial + F.interpolate(
+                m, size=in_hw, mode="bilinear", align_corners=False)[0, 0]
+    if mask is not None:
+        # reference train.py:951-953: cur_lpips_spatial[mask].mean()
+        total = spatial[torch.from_numpy(mask > 0)].mean().item()
     return total
 
 

@@ -324,7 +324,8 @@ def main():
     import imageio.v2 as imageio
     rng = np.random.default_rng(args.seed)
     root = args.out
-    for d in ["sparse/0", "images", "images_4/mask_test", "lama_input",
+    for d in ["sparse/0", "images", "images_4/mask_test",
+              "images_4/test_label", "lama_input",
               "marigold_output/depth_npy"]:
         os.makedirs(os.path.join(root, d), exist_ok=True)
 
@@ -359,6 +360,11 @@ def main():
         else:
             imageio.imwrite(os.path.join(
                 root, "images_4", "mask_test", base + ".png"), mask_png)
+            # the reference's masked-eval masks: 1-indexed by test-split
+            # position (readImages, /root/reference/train.py:895-898)
+            imageio.imwrite(os.path.join(
+                root, "images_4", "test_label",
+                "out_%05d.png" % (1 + i)), mask_png)
         # affine-invariant mono depth: random per-view scale/shift + noise
         a = rng.uniform(0.8, 1.3)
         b = rng.uniform(-0.5, 0.5)
