@@ -150,10 +150,17 @@ def load_spinnerf_scene(source_path: str,
                     mask = _resize_nearest(mask, image.shape[1:])
             dpath = os.path.join(source_path, "marigold_output/depth_npy",
                                  base + "_pred.npy")
+            # MiDaS .pfm alternative (the reference's load_midas branch,
+            # dataset_readers.py:192-197)
+            ppath = os.path.join(source_path, "midas_output",
+                                 base + "-dpt_beit_large_512.pfm")
             if os.path.exists(dpath):
                 depth = np.load(dpath).astype(np.float32)[None]
-                if depth.shape[1:] != image.shape[1:]:
-                    depth = _resize_nearest(depth, image.shape[1:])
+            elif os.path.exists(ppath):
+                from .pfm import read_pfm
+                depth = read_pfm(ppath)[None]
+            if depth is not None and depth.shape[1:] != image.shape[1:]:
+                depth = _resize_nearest(depth, image.shape[1:])
         vw, vh = wh if wh else (W // 4, H // 4)
         cam = make_camera(R, T, fov_x, fov_y, vw, vh, cx, cy)
         view = View(camera=cam, image=image, mask=mask, depth=depth,
