@@ -171,7 +171,7 @@ def load_spinnerf_scene(source_path: str,
             c2w = np.linalg.inv(np.asarray(cam.w2c, np.float64))
             c2ws_train.append(c2w[:3, :4])
 
-    if specified_ply_path:
+    if specified_ply_path and os.path.exists(specified_ply_path):
         pts = read_ply_xyz(specified_ply_path)
     elif points is not None:
         pts = np.asarray(points[0], np.float32)

@@ -380,13 +380,16 @@ def _run_forward(inst_packed, tile_start, tile_count, n_tiles: int,
 
 def _bwd_kernel(tile_start, tile_count, inst_hbm, pix_ref, grad_hbm,
                 buf, gbuf, sem, gsem, carry, prefr,
-                av_s, ge_s, pe_s):
+                av_s, ge_s, ga_s):
     """pix_ref rows: [g_r, g_g, g_b, g_depth, g_unc, Total, gTT, 0].
 
     Packed-row backward in three φ passes per chunk (RPC_B rows × 8 φ):
     (1) alpha/log planes + row sums, (2) transmittance + blend weights,
     channel-grad staging and the γw row sums, (3) suffix recovery and the
-    moment matmuls.  Grad output stays one 128-lane row per *instance*
+    moment matmuls.  Pass 3 re-reads the stored α/γ planes and carries
+    the transmittance product itself (one extra exp per chunk) — the γ
+    recompute (5 broadcast FMAs per φ) and a stored p_exc plane both
+    cost more than they save.  Grad output stays one 128-lane row per *instance*
     (segment-reducer layout): each φ's (RPC,16) block is interleaved into
     the chunk's fat rows in VMEM, then one DMA writes rows
     [8·row0, 8·row0+CHUNK) — starting exactly at ``start`` for the first
@@ -518,11 +521,12 @@ def _bwd_kernel(tile_start, tile_count, inst_hbm, pix_ref, grad_hbm,
         p_exc = jnp.exp(run)
         for phi in range(8):
             alpha_v = av_s[phi]
-            pe_s[phi] = p_exc
             p_inc = p_exc * (1.0 - alpha_v)
             w = jnp.where(p_inc >= T_STOP, alpha_v * p_exc, 0.0)
             d = buf[cur][:, 16 * phi:16 * phi + 16]
-            m = gamma_of(d) * w
+            gamma = gamma_of(d)
+            ga_s[phi] = gamma
+            m = gamma * w
             Msum = Msum + m
             dfeat = jax.lax.dot_general(
                 w, gstack, (((1,), (1,)), ((), ())),
@@ -536,14 +540,14 @@ def _bwd_kernel(tile_start, tile_count, inst_hbm, pix_ref, grad_hbm,
             + prefr[0:1, :]
 
         # pass 3: suffix recovery, moment matmuls, in-kernel centering
+        p_exc = jnp.exp(run)
         for phi in range(8):
             alpha_v = av_s[phi]
             g_exp = ge_s[phi]
-            p_exc = pe_s[phi]
+            gamma = ga_s[phi]
             p_inc = p_exc * (1.0 - alpha_v)
             applied = (alpha_v > 0.0) & (p_inc >= T_STOP)
             d = buf[cur][:, 16 * phi:16 * phi + 16]
-            gamma = gamma_of(d)
             w = jnp.where(applied, alpha_v * p_exc, 0.0)
             m = gamma * w
             pref = runm + m                    # inclusive global prefix
@@ -572,6 +576,7 @@ def _bwd_kernel(tile_start, tile_count, inst_hbm, pix_ref, grad_hbm,
             gbuf[cur, pl.Slice(phi, RPC_B, 8), 0:ILANES] = (
                 gbuf[cur, pl.Slice(phi, RPC_B, 8), 0:ILANES] + conv)
             runm = runm + m
+            p_exc = p_inc
 
         start_gdma(cur, k)
         prefr[...] = prefr[...] + jnp.sum(Msum, axis=0, keepdims=True)

@@ -104,6 +104,13 @@ def _enable_compile_cache():
 
 
 def main():
+    # subprocess-friendly backend pin (the axon sitecustomize registers
+    # the TPU plugin before user code, so JAX_PLATFORMS in the env is
+    # ignored; jax.config.update in-process still works) — lets
+    # scripts/run.py drive CPU smoke runs: GSCREAM_PLATFORM=cpu
+    if os.environ.get("GSCREAM_PLATFORM"):
+        import jax
+        jax.config.update("jax_platforms", os.environ["GSCREAM_PLATFORM"])
     _enable_compile_cache()
     args = parse_args()
     if args.dist_coordinator:
