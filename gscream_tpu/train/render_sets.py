@@ -156,12 +156,12 @@ def render_set(out_dir: str, split_name: str, cameras: List[Camera],
                                "per_view_count.json"), "w") as f:
             json.dump({f"{i:05d}": c for i, c in enumerate(counts)}, f)
         if is_spiral and renders:
-            # the reference ffmpeg-encodes video.mp4 (train.py:844-846);
-            # no ffmpeg ships here, so mux MJPEG into an AVI natively
-            from ..utils.video import write_mjpeg_avi
-            write_mjpeg_avi(os.path.join(out_dir, split_name, "video.avi"),
-                            [r.transpose(1, 2, 0) for r in renders],
-                            fps=30)
+            # the reference ffmpeg-encodes an mp4 (train.py:844-846);
+            # cv2's bundled mp4v encoder produces video.mp4, with the
+            # dependency-free MJPEG AVI as fallback
+            from ..utils.video import write_video
+            write_video(os.path.join(out_dir, split_name, "video"),
+                        [r.transpose(1, 2, 0) for r in renders], fps=30)
     return {"fps": fps, "renders": renders, "visible_counts": counts}
 
 

@@ -92,3 +92,31 @@ def write_mjpeg_avi(path: str, frames: Iterable[np.ndarray],
     with open(path, "wb") as f:
         f.write(b"RIFF" + struct.pack("<I", len(body)) + body)
     return n
+
+
+def write_video(path_base: str, frames, fps: int = 30) -> str:
+    """Spiral video artifact: ``<path_base>.mp4`` (MPEG-4 part 2 via
+    OpenCV's bundled encoder — the reference ffmpeg-encodes an mp4,
+    train.py:844-846), falling back to the dependency-free MJPEG AVI when
+    cv2 is unavailable.  Returns the path actually written."""
+    frames = list(frames)
+    if not frames:
+        return ""
+    try:
+        import cv2
+        h, w = frames[0].shape[:2]
+        out = path_base + ".mp4"
+        vw = cv2.VideoWriter(out, cv2.VideoWriter_fourcc(*"mp4v"),
+                             fps, (w, h))
+        if not vw.isOpened():
+            raise RuntimeError("VideoWriter failed to open")
+        for f in frames:
+            arr = (np.clip(f, 0, 1) * 255).astype(np.uint8) \
+                if f.dtype != np.uint8 else f
+            vw.write(arr[..., ::-1])               # RGB → BGR
+        vw.release()
+        return out
+    except Exception:
+        out = path_base + ".avi"
+        write_mjpeg_avi(out, frames, fps=fps)
+        return out

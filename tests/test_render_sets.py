@@ -51,7 +51,15 @@ def test_spiral_render_set_outputs(tmp_path):
                               / f"{i:05d}.png")
         assert os.path.exists(tmp_path / "spiral" / "normal"
                               / f"{i:05d}.png")
-    avi = tmp_path / "spiral" / "video.avi"
-    data = avi.read_bytes()
-    assert data[:4] == b"RIFF" and data[8:12] == b"AVI "
-    assert data.count(b"00dc") == 2 * 3          # movi chunks + idx1 rows
+    mp4 = tmp_path / "spiral" / "video.mp4"
+    if mp4.exists():                  # cv2 mp4v encoder (preferred)
+        import cv2
+        cap = cv2.VideoCapture(str(mp4))
+        n = 0
+        while cap.read()[0]:
+            n += 1
+        assert n == 3
+    else:                             # dependency-free MJPEG AVI fallback
+        data = (tmp_path / "spiral" / "video.avi").read_bytes()
+        assert data[:4] == b"RIFF" and data[8:12] == b"AVI "
+        assert data.count(b"00dc") == 2 * 3      # movi chunks + idx1 rows
