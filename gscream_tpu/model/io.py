@@ -96,3 +96,75 @@ def load_checkpoint(path: str, template):
     path = os.path.abspath(path)
     ckptr = ocp.StandardCheckpointer()
     return ckptr.restore(path, template)
+
+
+def save_mlps_npz(path: str, mlps) -> None:
+    """Per-MLP decoder checkpoint beside the point cloud — the TPU-native
+    equivalent of the reference's ``save_mlp_checkpoints``
+    (gaussian_model.py:975-988, torch .pth per MLP): one .npz whose keys
+    are ``<mlp>/<path>`` flattened parameter arrays.  Together with the
+    anchors PLY this makes a trained model loadable without the orbax
+    training checkpoint (the reference's eval-time contract)."""
+    import jax
+    import numpy as np
+    flat = {}
+    for name, tree in mlps._asdict().items():
+        leaves = jax.tree_util.tree_flatten_with_path(tree)[0]
+        for kp, leaf in leaves:
+            key = name + "/" + "/".join(
+                str(getattr(p, "name", getattr(p, "idx", p))) for p in kp)
+            flat[key] = np.asarray(leaf)
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    np.savez(path, **flat)
+
+
+def load_mlps_npz(path: str, template):
+    """Inverse of :func:`save_mlps_npz`: restores into ``template``'s
+    structure (shape-checked)."""
+    import jax
+    import numpy as np
+    z = np.load(path)
+    new = {}
+    for name, tree in template._asdict().items():
+        leaves, treedef = jax.tree_util.tree_flatten_with_path(tree)
+        vals = []
+        for kp, leaf in leaves:
+            key = name + "/" + "/".join(
+                str(getattr(p, "name", getattr(p, "idx", p))) for p in kp)
+            arr = z[key]
+            assert arr.shape == leaf.shape, (key, arr.shape, leaf.shape)
+            vals.append(jnp.asarray(arr))
+        new[name] = jax.tree_util.tree_unflatten(treedef, vals)
+    return type(template)(**new)
+
+
+def write_scene_artifacts(model_path: str, views, points) -> None:
+    """The reference Scene's load-time artifacts (scene/__init__.py:62-78):
+    ``input.ply`` (the initial cloud) and ``cameras.json`` (test cams then
+    train cams, camera_to_JSON fields — c2w position/rotation, fx/fy)."""
+    import json
+
+    import numpy as np
+
+    from ..data.ply import write_ply
+    os.makedirs(model_path, exist_ok=True)
+    pts = np.asarray(points, np.float32)
+    write_ply(os.path.join(model_path, "input.ply"),
+              {"x": pts[:, 0], "y": pts[:, 1], "z": pts[:, 2]})
+    cams = []
+    for i, v in enumerate(views):
+        c = v.camera
+        w2c = np.asarray(c.w2c, np.float64)
+        c2w = np.linalg.inv(w2c)
+        cams.append({
+            "id": i,
+            "img_name": getattr(v, "name", f"{i:05d}"),
+            "width": int(c.width),
+            "height": int(c.height),
+            "position": c2w[:3, 3].tolist(),
+            "rotation": [r.tolist() for r in c2w[:3, :3]],
+            "fy": float(c.height / (2.0 * float(c.tan_fovy))),
+            "fx": float(c.width / (2.0 * float(c.tan_fovx))),
+        })
+    with open(os.path.join(model_path, "cameras.json"), "w") as f:
+        json.dump(cams, f)

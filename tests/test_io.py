@@ -44,3 +44,23 @@ def test_anchor_ply_roundtrip(tmp_path, rng):
     for a, b in zip(jax.tree.leaves(st.params), jax.tree.leaves(params)):
         np.testing.assert_allclose(np.asarray(a)[:n], np.asarray(b)[:n],
                                    rtol=1e-6)
+
+
+def test_mlps_npz_roundtrip(tmp_path):
+    """save_mlp_checkpoints equivalent (gaussian_model.py:975-1000):
+    decoder MLPs round-trip through the .npz beside the point cloud."""
+    import jax
+    import jax.numpy as jnp
+    from gscream_tpu.model.io import load_mlps_npz, save_mlps_npz
+    from gscream_tpu.model.scaffold import ScaffoldConfig, init_scaffold
+
+    cfg = ScaffoldConfig(feat_dim=8, n_offsets=2, voxel_size=0.1,
+                         capacity=128)
+    pts = np.random.default_rng(0).normal(0, 1, (40, 3)).astype(np.float32)
+    sc = init_scaffold(jax.random.PRNGKey(3), pts, cfg)
+    p = str(tmp_path / "mlp_checkpoints.npz")
+    save_mlps_npz(p, sc.mlps)
+    zeroed = jax.tree.map(jnp.zeros_like, sc.mlps)
+    back = load_mlps_npz(p, zeroed)
+    for a, b in zip(jax.tree.leaves(sc.mlps), jax.tree.leaves(back)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

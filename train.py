@@ -225,6 +225,15 @@ def main():
     logger.info("training %d views, %d points, %d iters",
                 len(views), len(points), args.iterations)
 
+    # load-time scene artifacts: input.ply + cameras.json (reference
+    # Scene.__init__, scene/__init__.py:62-78 — test cams then train cams)
+    from gscream_tpu.model.io import write_scene_artifacts
+    try:
+        write_scene_artifacts(args.model_path,
+                              list(test_views) + list(views), points)
+    except Exception as e:           # never let bookkeeping kill a run
+        logger.warning("scene artifacts not written: %s", e)
+
     # in-training eval at test_iterations (reference training_report,
     # train.py:655-695)
     def eval_callback(it, ts, aux, mlog=None):
@@ -306,7 +315,11 @@ def main():
                            f"iteration_{args.iterations}")
     save_anchors_ply(os.path.join(ply_dir, "point_cloud.ply"),
                      ts.scaffold, cfg)
-    from gscream_tpu.model.io import save_checkpoint
+    from gscream_tpu.model.io import save_checkpoint, save_mlps_npz
+    # per-MLP decoder checkpoint beside the cloud (the reference's
+    # save_mlp_checkpoints, gaussian_model.py:975-988)
+    save_mlps_npz(os.path.join(ply_dir, "mlp_checkpoints.npz"),
+                  ts.scaffold.mlps)
     save_checkpoint(os.path.join(args.model_path, "checkpoint"), ts)
 
     if not args.skip_render and test_views:
