@@ -40,7 +40,6 @@ def main():
         offset=0.5 * jax.random.normal(ks[1], scaffold.params.offset.shape)))
     cam = make_camera(np.eye(3), np.array([0.0, 0.0, 3.0]), 1.0,
                       1.0 * height / width, width, height)
-    capacity = 1 << 21
     interpret = jax.default_backend() != "tpu"
 
     dec_fn = jax.jit(lambda p, m: decode(
@@ -50,8 +49,16 @@ def main():
     pre_fn = jax.jit(lambda d: preprocess(
         d.xyz, d.scale, d.rot, cam.w2c, cam.full_proj, width, height,
         cam.tan_fovx, cam.tan_fovy, tile_w=TILE_W, tile_h=TILE_H,
-        active_mask=d.active))
-    splats = timeit(pre_fn, dec, label="preprocess")
+        active_mask=d.active, opacity=d.opacity))
+    splats = timeit(pre_fn, dec, label="preprocess (tight cull)")
+
+    # bench-identical capacity: fitted tier over the emission count
+    from gscream_tpu.train.loop import capacity_tier
+    rw = splats.rect_max[:, 0] - splats.rect_min[:, 0]
+    rh = splats.rect_max[:, 1] - splats.rect_min[:, 1]
+    n_emit = int(jnp.sum(jnp.where(splats.radius > 0, rw * rh, 0)))
+    capacity = max(capacity_tier(n_emit), 1 << 14)
+    print(f"emitted {n_emit}  capacity tier {capacity}")
 
     bin_fn = jax.jit(lambda s, d: bin_instances(
         s, capacity, width, height, TILE_W, TILE_H,
@@ -132,8 +139,15 @@ def bwd_parts():
     dec = decode(scaffold, cam.cam_center, None, cfg)
     splats = preprocess(dec.xyz, dec.scale, dec.rot, cam.w2c, cam.full_proj,
                         width, height, cam.tan_fovx, cam.tan_fovy,
-                        tile_w=TILE_W, tile_h=TILE_H, active_mask=dec.active)
-    binning = bin_instances(splats, 1 << 21, width, height, TILE_W, TILE_H)
+                        tile_w=TILE_W, tile_h=TILE_H, active_mask=dec.active,
+                        opacity=dec.opacity)
+    from gscream_tpu.train.loop import capacity_tier
+    rw = splats.rect_max[:, 0] - splats.rect_min[:, 0]
+    rh = splats.rect_max[:, 1] - splats.rect_min[:, 1]
+    n_emit = int(jnp.sum(jnp.where(splats.radius > 0, rw * rh, 0)))
+    capacity = max(capacity_tier(n_emit), 1 << 14)
+    print("emitted", n_emit, "capacity tier", capacity)
+    binning = bin_instances(splats, capacity, width, height, TILE_W, TILE_H)
     gx = -(-width // TILE_W)
     n_tiles = gx * (-(-height // TILE_H))
     inst = pack_instance_data(splats.mean2d, splats.conic, dec.opacity,
