@@ -20,4 +20,10 @@ GSCREAM_SORT_LEX=1 timeout 600 python bench.py >> $L 2>&1
 GSCREAM_REORDER_GATHER=1 timeout 600 python bench.py >> $L 2>&1
 GSCREAM_TIGHT_CULL=0 timeout 600 python bench.py >> $L 2>&1
 
-tail -40 $L
+# 4. sort-cost matrix (operand/size scaling of lax.sort + alternatives)
+timeout 900 python scripts/sort_matrix.py >> $L 2>&1
+
+# 5. backward micro-profile
+BWD_PARTS=1 timeout 900 python scripts/profile_bench.py >> $L 2>&1
+
+tail -60 $L
