@@ -81,10 +81,14 @@ PIX = TILE_W * TILE_H
 LANES = 128
 ILANES = 16           # used floats per instance (8 instances per 128-lane
                       # packed row; grad output rows stay 1/instance)
-CHUNK_F = 1024        # fwd instances per inner step (= RPC_F packed rows)
-RPC_F = CHUNK_F // 8
-CHUNK_B = 512         # bwd instances per inner step (VMEM-bound: 4 per-φ
-RPC_B = CHUNK_B // 8  # scratch planes are held across the 3 φ passes)
+# chunk sizes are env-tunable for hardware A/B sweeps (compile-time
+# constants; invalid values fail loudly at kernel build)
+CHUNK_F = int(os.environ.get("GSCREAM_CHUNK_F", 1024))
+RPC_F = CHUNK_F // 8  # fwd packed rows per inner step
+CHUNK_B = int(os.environ.get("GSCREAM_CHUNK_B", 512))
+RPC_B = CHUNK_B // 8  # bwd packed rows per inner step (VMEM-bound: 3
+                      # per-φ scratch plane sets held across the passes)
+assert CHUNK_F % 8 == 0 and CHUNK_B % 8 == 0
 PAD_SLOTS = 1024      # slack instance rows absorbing chunk tail overruns
 
 _HIGHEST = jax.lax.Precision.HIGHEST

@@ -26,4 +26,8 @@ timeout 900 python scripts/sort_matrix.py >> $L 2>&1
 # 5. backward micro-profile
 BWD_PARTS=1 timeout 900 python scripts/profile_bench.py >> $L 2>&1
 
-tail -60 $L
+# 6. chunk-size sweep (bwd kernel VMEM/overhead tradeoff)
+GSCREAM_CHUNK_B=1024 timeout 600 python bench.py >> $L 2>&1
+GSCREAM_CHUNK_B=768 timeout 600 python bench.py >> $L 2>&1
+
+tail -80 $L
