@@ -171,6 +171,14 @@ def load_spinnerf_scene(source_path: str,
             c2w = np.linalg.inv(np.asarray(cam.w2c, np.float64))
             c2ws_train.append(c2w[:3, :4])
 
+    if specified_ply_path and not os.path.exists(specified_ply_path):
+        # the reference converts points3D.bin on demand when the ply is
+        # absent (scene/__init__.py fetchPly path) — mirror that, but
+        # LOUDLY: a mistyped path must not silently change the init cloud
+        import sys
+        print(f"WARNING: specified_ply_path {specified_ply_path!r} does "
+              "not exist — falling back to the COLMAP points3D cloud",
+              file=sys.stderr)
     if specified_ply_path and os.path.exists(specified_ply_path):
         pts = read_ply_xyz(specified_ply_path)
     elif points is not None:

@@ -262,20 +262,24 @@ def make_sharded_loss(mesh, cfg: ScaffoldConfig, opt: OptimConfig,
 def sharded_view_batch(views, fg_boxes=None, is_ref=None, cross_boxes=None,
                        cross_enable=None):
     """Stack per-view host data into the 12-tuple batch the sharded step
-    consumes.  ``views`` carry .camera/.image/.mask/.depth; the remaining
+    consumes.  ``views`` carry camera/image/mask/depth as attributes OR
+    dict keys (the training loop's device-view records); the remaining
     entries default to the phase-1 values (no ref view, no cross-attn)."""
+    def fld(v, name):
+        return v[name] if isinstance(v, dict) else getattr(v, name)
+
     B = len(views)
-    h, w = views[0].camera.height, views[0].camera.width
-    zeros_hw = np.zeros((h, w), np.float32)
+    cams = [fld(v, "camera") for v in views]
+    h, w = cams[0].height, cams[0].width
     return (
-        jnp.stack([v.camera.w2c for v in views]),
-        jnp.stack([v.camera.full_proj for v in views]),
-        jnp.stack([v.camera.cam_center for v in views]),
-        jnp.stack([jnp.asarray(v.camera.tan_fovx) for v in views]),
-        jnp.stack([jnp.asarray(v.camera.tan_fovy) for v in views]),
-        jnp.stack([jnp.asarray(v.image) for v in views]),
-        jnp.stack([jnp.asarray(v.mask) for v in views]),
-        jnp.stack([jnp.asarray(v.depth) for v in views]),
+        jnp.stack([c.w2c for c in cams]),
+        jnp.stack([c.full_proj for c in cams]),
+        jnp.stack([c.cam_center for c in cams]),
+        jnp.stack([jnp.asarray(c.tan_fovx) for c in cams]),
+        jnp.stack([jnp.asarray(c.tan_fovy) for c in cams]),
+        jnp.stack([jnp.asarray(fld(v, "image")) for v in views]),
+        jnp.stack([jnp.asarray(fld(v, "mask")) for v in views]),
+        jnp.stack([jnp.asarray(fld(v, "depth")) for v in views]),
         jnp.asarray(is_ref if is_ref is not None else [False] * B),
         jnp.stack([jnp.asarray(b) for b in fg_boxes]) if fg_boxes
         else jnp.zeros((B, h, w), jnp.float32),
@@ -454,11 +458,21 @@ def make_sharded_train_step(mesh, cfg: ScaffoldConfig, opt: OptimConfig,
         stats = ts.stats
         if accumulate:
             ndc_scale = jnp.array([0.5 * width, 0.5 * height])
+            # the differentiated loss is the GATE-AVERAGED batch mean, so
+            # d(loss)/d(screen_zero_b[v]) = (g_v/gsum)·d(loss_v)/d(screen);
+            # rescale by gsum/g_v (= gsum for g∈{0,1}) to recover each
+            # view's own screen gradient, and gate a dropped view's stat
+            # contributions off entirely (the reference skips the whole
+            # iteration, train.py:519-523)
+            gsum_all = jnp.maximum(jnp.sum(gate), 1.0)
             for v in range(B):
+                g_v = gate[v] > 0
                 grad_norm = jnp.linalg.norm(
-                    g_screen_b[v] * ndc_scale, axis=1).reshape(C, k)
-                stats = accumulate_stats(stats, nop_b[v], grad_norm,
-                                         gvalid_b[v], anchor_visible_b[v])
+                    g_screen_b[v] * ndc_scale, axis=1).reshape(C, k) \
+                    * gsum_all
+                stats = accumulate_stats(
+                    stats, nop_b[v], grad_norm,
+                    gvalid_b[v] & g_v, anchor_visible_b[v] & g_v)
 
         # --- main optimizer (masks identical to train_step) --------------
         anchor_lrs, mlp_lrs = lr_tree(step1, opt, spatial_lr_scale)

@@ -301,23 +301,30 @@ def train_scene(views, ref_index: int, points: np.ndarray, run: RunConfig,
             order_cache[epoch] = list(r.permutation(n_views))
         return order_cache[epoch][pos]
 
-    def sample_slot(p: int) -> Dict:
+    def sample_slot(p: int, phase_it: Optional[int] = None) -> Dict:
         """Host-side sampling for stream position ``p`` (stored so an
         overflow rollback re-runs the step with identical inputs; all
-        randomness is derived from (seed, p) for exact resume)."""
+        randomness is derived from (seed, p) for exact resume).
+
+        ``phase_it``: the OPTIMIZER-step clock the phase windows
+        (start_crossattn_from / start_stat / update_until) are read on —
+        the same clock densify/eval/checkpoint boundaries use.  Defaults
+        to ``p`` (single-device: identical); a B>1 batch passes the
+        step index so all B slots agree with the schedule."""
+        it_ = p if phase_it is None else phase_it
         rng = np.random.default_rng(np.random.SeedSequence([run.seed, p]))
         vi = view_for(p)
         v = dev_views[vi]
         # per-view cross-attn gating: the reference enables ref/other
         # views independently (train.py:445-447)
-        use_cross = (p > opt.start_crossattn_from
+        use_cross = (it_ > opt.start_crossattn_from
                      and (opt.enable_crossattn_refview > 0 if v["is_ref"]
                           else opt.enable_crossattn_otherview > 0))
         # after the first run_crossattn the reference's _anchor_feat is
         # permanently detached (gaussian_model.py:556) — main Adam stops
         # updating feat for the rest of training on every view
-        feat_frozen = p > opt.start_crossattn_from and phase2_any
-        accumulate = opt.start_stat < p < opt.update_until
+        feat_frozen = it_ > opt.start_crossattn_from and phase2_any
+        accumulate = opt.start_stat < it_ < opt.update_until
         if v["is_ref"]:
             fg_box = random_box_mask(rng, v["mask_np"], 1.5, 0.8, h, w)
         else:
@@ -345,31 +352,22 @@ def train_scene(views, ref_index: int, points: np.ndarray, run: RunConfig,
     def prepare_sharded(it: int) -> Dict:
         """B view slots (stream positions (it-1)B+1 .. itB) stacked into
         the 12-tuple batch of
-        :func:`gscream_tpu.parallel.shard.make_sharded_train_step`.  The
-        step-level phase flags are static per compiled variant; per-view
-        crossattn participation rides the batch's ``cross_enable``."""
-        slots = [sample_slot((it - 1) * mesh_B + j + 1)
+        :func:`gscream_tpu.parallel.shard.make_sharded_train_step`.
+        Phase flags are read on the optimizer-step clock ``it`` (the
+        clock the densify/eval/checkpoint boundaries use), so every slot
+        agrees with the schedule; per-view crossattn participation rides
+        the batch's ``cross_enable``."""
+        from ..parallel.shard import sharded_view_batch
+        slots = [sample_slot((it - 1) * mesh_B + j + 1, phase_it=it)
                  for j in range(mesh_B)]
         vs = [dev_views[s["vi"]] for s in slots]
-        cams = [v["camera"] for v in vs]
         use_cross = any(s["use_cross"] for s in slots)
-        batch = (
-            jnp.stack([c.w2c for c in cams]),
-            jnp.stack([c.full_proj for c in cams]),
-            jnp.stack([c.cam_center for c in cams]),
-            jnp.stack([jnp.asarray(c.tan_fovx) for c in cams]),
-            jnp.stack([jnp.asarray(c.tan_fovy) for c in cams]),
-            jnp.stack([v["image"] for v in vs]),
-            jnp.stack([v["mask"] for v in vs]),
-            jnp.stack([v["depth"] for v in vs]),
-            jnp.asarray([v["is_ref"] for v in vs]),
-            jnp.asarray(np.stack([s["fg_box"] for s in slots])),
-            jnp.asarray(np.stack(
-                [s["cross_box"] if s["cross_box"] is not None
-                 else np.zeros(4, np.int32) for s in slots])),
-            jnp.asarray([1.0 if s["use_cross"] else 0.0 for s in slots],
-                        jnp.float32),
-        )
+        batch = sharded_view_batch(
+            vs, fg_boxes=[s["fg_box"] for s in slots],
+            is_ref=[v["is_ref"] for v in vs],
+            cross_boxes=[s["cross_box"] if s["cross_box"] is not None
+                         else np.zeros(4, np.int32) for s in slots],
+            cross_enable=[1.0 if s["use_cross"] else 0.0 for s in slots])
         return dict(it=it, vi=slots[0]["vi"],
                     vis=[s["vi"] for s in slots], batch=batch,
                     fg_box=batch[9], cross_box=batch[10],

@@ -134,7 +134,8 @@ def render_set(out_dir: str, split_name: str, cameras: List[Camera],
                 nrm = normals_from_depth(depth, c2w, K)
                 _save_png(os.path.join(ndir, f"{idx:05d}.png"),
                           (nrm.transpose(1, 2, 0) + 1.0) * 0.5)
-            if gt_images is not None and idx < len(gt_images):
+            if (gt_images is not None and idx < len(gt_images)
+                    and gt_images[idx] is not None):
                 # gt/ beside renders/ (reference render_set writes both,
                 # train.py:714-745) so evaluate.py can run standalone on
                 # the model directory; errors/ likewise

@@ -109,11 +109,14 @@ def main():
     for name, views in splits:
         if not views:
             continue
+        # keep index alignment: a view with a missing PNG contributes a
+        # None slot, never a shifted gt
+        gts = [v.image for v in views]
         res = render_set(args.model_path, name,
                          [v.camera for v in views], scaffold, cfg,
                          capacity=args.instance_capacity,
-                         gt_images=[v.image for v in views
-                                    if v.image is not None] or None)
+                         gt_images=gts if any(
+                             g is not None for g in gts) else None)
         print(f"{name}: {len(views)} views, FPS {res['fps']:.2f}")
     if args.spiral and sd.spiral_c2ws is not None:
         from gscream_tpu.cameras import make_camera_from_c2w

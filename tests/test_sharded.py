@@ -337,3 +337,41 @@ def test_train_scene_mesh_routing(scene, tmp_path):
                                      ts_b.scaffold.mlps))):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=5e-3, atol=5e-4)
+
+
+def test_batch_densify_stats_match_per_view(scene):
+    """Code-review r3 regression: with the gate-averaged batch loss,
+    per-view screen gradients must be rescaled by gsum before densify
+    accumulation — a B=2 batch's stat deltas equal the SUM of the two
+    single-device steps' deltas taken from the same pre-step state."""
+    if len(jax.devices()) < 4:
+        pytest.skip("needs >=4 devices")
+    from gscream_tpu.train.step import train_step
+
+    opt = OptimConfig()
+    views = scene.views[:2]
+    scaffold = init_scaffold(jax.random.PRNGKey(0), scene.points, CFG)
+    ts0 = init_train_state(scaffold, CFG, jax.random.PRNGKey(1))
+
+    deltas = []
+    for v in views:
+        ts_v, _ = train_step(
+            ts0, v.camera, jnp.asarray(v.image), jnp.asarray(v.mask),
+            jnp.asarray(v.depth), jnp.zeros((H, W)),
+            jnp.zeros(4, jnp.int32), cfg=CFG, opt=opt, is_ref=False,
+            use_crossattn=False, capacity=16384, interpret=True,
+            width=W, height=H, accumulate=True)
+        deltas.append(jax.tree.map(
+            lambda a, b: np.asarray(a) - np.asarray(b),
+            ts_v.stats, ts0.stats))
+
+    step = make_sharded_train_step(make_mesh(2, 2), CFG, opt, 16384,
+                                   W, H, interpret=True)
+    ts_b, _ = step(ts0, sharded_view_batch(views), accumulate=True)
+    for name in ("opacity_accum", "anchor_demon", "offset_grad_accum",
+                 "offset_denom"):
+        want = (getattr(deltas[0], name) + getattr(deltas[1], name))
+        got = (np.asarray(getattr(ts_b.stats, name))
+               - np.asarray(getattr(ts0.stats, name)))
+        np.testing.assert_allclose(got, want, rtol=2e-3, atol=1e-5,
+                                   err_msg=name)

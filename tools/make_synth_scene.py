@@ -314,6 +314,11 @@ def _dilate(mask, it=6):
 
 
 def main():
+    # in-process backend pin (axon sitecustomize ignores JAX_PLATFORMS;
+    # with the relay down the default backend hangs at init)
+    if os.environ.get("GSCREAM_PLATFORM"):
+        import jax
+        jax.config.update("jax_platforms", os.environ["GSCREAM_PLATFORM"])
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default=os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),

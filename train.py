@@ -324,11 +324,13 @@ def main():
 
     if not args.skip_render and test_views:
         from gscream_tpu.train.render_sets import render_set
+        # index-aligned gts (None slots for missing PNGs, never shifted)
+        test_gts = [v.image for v in test_views]
         res = render_set(args.model_path, "test",
                          [v.camera for v in test_views], ts.scaffold, cfg,
                          capacity=args.instance_capacity,
-                         gt_images=[v.image for v in test_views
-                                    if v.image is not None] or None)
+                         gt_images=test_gts if any(
+                             g is not None for g in test_gts) else None)
         logger.info("test FPS: %.2f", res["fps"])
         if args.render_spiral and not args.synthetic:
             from gscream_tpu.cameras import make_camera_from_c2w
@@ -345,19 +347,25 @@ def main():
             from evaluate import load_test_label_masks
             from gscream_tpu.train.evaluate import evaluate_pairs, \
                 write_results
-            gts = [v.image for v in test_views if v.image is not None]
-            if gts:
+            # pair render i with test view i; skip views without a GT
+            # image (index-aligned — a missing PNG never shifts pairs)
+            idxs = [i for i, v in enumerate(test_views)
+                    if v.image is not None and i < len(res["renders"])]
+            if idxs:
+                gts = [test_views[i].image for i in idxs]
+                renders = [res["renders"][i] for i in idxs]
                 # reference masked-eval protocol: images_4/test_label
-                # masks, 1-indexed, LANCZOS-resized to the render size
-                # (train.py:895-899); views' masks only as fallback
+                # masks, 1-indexed by test position, LANCZOS-resized to
+                # the render size (train.py:895-899); views' masks only
+                # as fallback
                 h, w = gts[0].shape[1:]
                 masks = (load_test_label_masks(args.source_path,
-                                               len(gts), (w, h))
+                                               len(test_views), (w, h))
                          if args.source_path else None)
-                if masks is None:
-                    masks = [v.mask for v in test_views]
-                results = evaluate_pairs(res["renders"][:len(gts)], gts,
-                                         masks)
+                masks = ([masks[i] for i in idxs] if masks is not None
+                         else [test_views[i].mask for i in idxs])
+                results = evaluate_pairs(renders, gts, masks,
+                                         names=[f"{i:05d}" for i in idxs])
                 write_results(args.model_path, results)
                 logger.info("eval: %s", json.dumps(results["summary"]))
 
