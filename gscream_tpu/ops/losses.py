@@ -21,15 +21,20 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 
+def _acc_dtype(x):
+    # accumulate in AT LEAST f32: bf16 inputs reduce in f32 (the
+    # selective-bf16 loss path's contract), f64 stays f64 (property
+    # tests / oracles)
+    return jnp.promote_types(x.dtype, jnp.float32)
+
+
 def l1_loss(pred, gt):
-    # f32 accumulation: correct under the selective-bf16 loss path, free
-    # under fp32
-    return jnp.mean(jnp.abs(pred - gt), dtype=jnp.float32)
+    return jnp.mean(jnp.abs(pred - gt), dtype=_acc_dtype(pred))
 
 
 def l1_loss_masked(pred, gt, mask):
     return jnp.mean(jnp.abs(pred - gt) * mask.astype(pred.dtype),
-                    dtype=jnp.float32)
+                    dtype=_acc_dtype(pred))
 
 
 def l2_loss(pred, gt):

@@ -78,7 +78,8 @@ def ssim(img1: jnp.ndarray, img2: jnp.ndarray,
          window_size: int = 11) -> jnp.ndarray:
     """Training SSIM (loss_utils.py:139-168), zero padding, mean reduce."""
     m = _ssim_map(img1, img2, window_size, 1.5, "zero", 0.01 ** 2, 0.03 ** 2)
-    return jnp.mean(m, dtype=jnp.float32)   # f32 accumulation under bf16
+    # accumulate in AT LEAST f32 (f32 under bf16, f64 stays f64)
+    return jnp.mean(m, dtype=jnp.promote_types(m.dtype, jnp.float32))
 
 
 def ssim_masked(img1: jnp.ndarray, img2: jnp.ndarray, mask: jnp.ndarray,
@@ -86,7 +87,8 @@ def ssim_masked(img1: jnp.ndarray, img2: jnp.ndarray, mask: jnp.ndarray,
     """Masked training SSIM (loss_utils.py:172-199): map·mask then mean
     over *all* pixels (the reference's normalization)."""
     m = _ssim_map(img1, img2, window_size, 1.5, "zero", 0.01 ** 2, 0.03 ** 2)
-    return jnp.mean(m * mask.astype(m.dtype), dtype=jnp.float32)
+    return jnp.mean(m * mask.astype(m.dtype),
+                    dtype=jnp.promote_types(m.dtype, jnp.float32))
 
 
 def kornia_ssim_map(img1, img2, window_size: int = 5,
