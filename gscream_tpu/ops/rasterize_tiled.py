@@ -224,23 +224,55 @@ def _strict_lower_tri(n: int):
     return (j < i).astype(jnp.float32)
 
 
-def _phi_blend(d, xr, yr, slot_valid):
+MXU_POWER = os.environ.get("GSCREAM_MXU_POWER") == "1"
+
+
+def _phi_blend(d, xr, yr, slot_valid, power=None):
     """Per-φ-block forward math: d (R,16) instance lanes, xr/yr (1,PIX),
     slot_valid (R,1).  Returns (alpha_v, one_m, g_exp) each (R,PIX),
     where one_m = 1 - alpha_v (a transmittance product factor).
 
-    The degree-2 power polynomial runs on the VPU as broadcast FMAs of
-    (R,1) coefficient columns against (1,PIX) coordinate rows — an MXU
-    contraction of depth 16 would waste 112/128 of the systolic array.
+    By default the degree-2 power polynomial runs on the VPU as broadcast
+    FMAs of (R,1) coefficient columns against (1,PIX) coordinate rows —
+    an MXU contraction of depth 16 would waste 112/128 of the systolic
+    array.  ``power`` overrides with a precomputed plane (the
+    GSCREAM_MXU_POWER=1 path, :func:`_power_planes`): the kernels are
+    VPU-bound (BASELINE.md memo), so moving the 5 FMAs/pixel onto the
+    otherwise idle MXU trades cheap MXU time for scarce VPU time.
     """
-    power = (d[:, 6:7]
-             + (d[:, 7:8] + d[:, 9:10] * xr + d[:, 10:11] * yr) * xr
-             + (d[:, 8:9] + d[:, 11:12] * yr) * yr)
+    if power is None:
+        power = (d[:, 6:7]
+                 + (d[:, 7:8] + d[:, 9:10] * xr + d[:, 10:11] * yr) * xr
+                 + (d[:, 8:9] + d[:, 11:12] * yr) * yr)
     g_exp = jnp.exp(power)
     alpha = jnp.minimum(d[:, 0:1] * g_exp, 0.99)
     valid = slot_valid & (power <= 0.0) & (alpha >= ALPHA_MIN)
     alpha_v = jnp.where(valid, alpha, 0.0)
     return alpha_v, 1.0 - alpha_v, g_exp
+
+
+def _pixel_basis6():
+    """(6, PIX) quadratic pixel basis [1, x, y, x², xy, y²] — the lane
+    order of the packed power coefficients (pack_instance_data lanes
+    6..11).  Built from in-trace iotas: Pallas kernels may not capture
+    array constants."""
+    x, y = _pixel_rows()
+    return jnp.concatenate(
+        [jnp.ones_like(x), x, y, x * x, x * y, y * y], axis=0)
+
+
+def _power_planes(dchunk, basis6):
+    """All 8 φ power planes of a packed chunk in ONE MXU contraction.
+
+    dchunk (R,128) → coefficients (8R, 6) φ-major → (8R, PIX); plane φ
+    is rows [φR, (φ+1)R) — contiguous sublane slices, no relayout on
+    the output side."""
+    coef = jnp.concatenate(
+        [dchunk[:, 16 * phi + 6:16 * phi + 12] for phi in range(8)],
+        axis=0)
+    return jax.lax.dot_general(
+        coef, basis6, (((1,), (0,)), ((), ())),
+        precision=_HIGHEST, preferred_element_type=jnp.float32)
 
 
 # ---------------------------------------------------------------------------
@@ -266,6 +298,7 @@ def _fwd_kernel(tile_start, tile_count, inst_hbm, out_ref, buf, sem,
     nchunks = pl.cdiv(total_rows, RPC_F)
 
     xr, yr = _pixel_rows()
+    basis6 = _pixel_basis6() if MXU_POWER else None
     sltri = _strict_lower_tri(RPC_F)
     log_stop = np.float32(np.log(T_STOP))
 
@@ -297,11 +330,15 @@ def _fwd_kernel(tile_start, tile_count, inst_hbm, out_ref, buf, sem,
         # Πφ(1-α): 8x fewer transcendentals; the extra fp32 rounding is
         # bounded by the golden-bundle gate (tests/test_golden.py)
         rowprod = jnp.ones((RPC_F, PIX), jnp.float32)
+        pw = _power_planes(buf[cur], basis6) if MXU_POWER else None
         for phi in range(8):
             d = buf[cur][:, 16 * phi:16 * phi + 16]
             idx = base + ri * 8 + phi
             slot_valid = (idx >= start) & (idx < start + count)
-            alpha_v, one_m, _ = _phi_blend(d, xr, yr, slot_valid)
+            alpha_v, one_m, _ = _phi_blend(
+                d, xr, yr, slot_valid,
+                power=(pw[phi * RPC_F:(phi + 1) * RPC_F]
+                       if MXU_POWER else None))
             av_s[phi] = alpha_v
             rowprod = rowprod * one_m
         S = jnp.log(rowprod)
@@ -410,6 +447,7 @@ def _bwd_kernel(tile_start, tile_count, inst_hbm, pix_ref, grad_hbm,
     nchunks = pl.cdiv(total_rows, RPC_B)
 
     basis = _pixel_basis16()
+    basis6 = _pixel_basis6() if MXU_POWER else None
     xr, yr = _pixel_rows()
     sltri = _strict_lower_tri(RPC_B)
     log_stop = np.float32(np.log(T_STOP))
@@ -497,11 +535,15 @@ def _bwd_kernel(tile_start, tile_count, inst_hbm, pix_ref, grad_hbm,
         # pass 1: per-φ planes + row transmittance factors (see the
         # forward: one log of the row product replaces 8 log1p)
         rowprod = jnp.ones((RPC_B, PIX), jnp.float32)
+        pw = _power_planes(buf[cur], basis6) if MXU_POWER else None
         for phi in range(8):
             d = buf[cur][:, 16 * phi:16 * phi + 16]
             idx = base + ri * 8 + phi
             slot_valid = (idx >= start) & (idx < start + count)
-            alpha_v, one_m, g_exp = _phi_blend(d, xr, yr, slot_valid)
+            alpha_v, one_m, g_exp = _phi_blend(
+                d, xr, yr, slot_valid,
+                power=(pw[phi * RPC_B:(phi + 1) * RPC_B]
+                       if MXU_POWER else None))
             av_s[phi] = alpha_v
             ge_s[phi] = g_exp
             rowprod = rowprod * one_m

@@ -30,4 +30,7 @@ BWD_PARTS=1 timeout 900 python scripts/profile_bench.py >> $L 2>&1
 GSCREAM_CHUNK_B=1024 timeout 600 python bench.py >> $L 2>&1
 GSCREAM_CHUNK_B=768 timeout 600 python bench.py >> $L 2>&1
 
+# 7. MXU power-polynomial offload (kernels are VPU-bound)
+GSCREAM_MXU_POWER=1 timeout 600 python bench.py >> $L 2>&1
+
 tail -80 $L
