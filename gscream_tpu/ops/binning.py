@@ -83,6 +83,10 @@ def bin_instances(splats: Splats, capacity: int, width: int, height: int,
     ``pack_instance_data`` then needs no gather at all (TPU sorts stream;
     a 2M-row random gather of the same data costs ~2x, round-1 profile).
     """
+    if attrs is not None and os.environ.get("GSCREAM_ATTRS_GATHER"):
+        # A/B: drop the 11 payload operands from the sort; the packer
+        # then re-gathers attrs per instance (attrs[gauss_id] row gather)
+        attrs = None
     grid_x = -(-width // tile_w)
     n_tiles = num_tiles(width, height, tile_w, tile_h)
 

@@ -17,6 +17,7 @@ timeout 900 python scripts/profile_bench.py >> $L 2>&1
 
 # 3. sort-cost A/Bs
 GSCREAM_SORT_LEX=1 timeout 600 python bench.py >> $L 2>&1
+GSCREAM_ATTRS_GATHER=1 timeout 600 python bench.py >> $L 2>&1
 GSCREAM_REORDER_GATHER=1 timeout 600 python bench.py >> $L 2>&1
 GSCREAM_TIGHT_CULL=0 timeout 600 python bench.py >> $L 2>&1
 
