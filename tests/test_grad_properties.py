@@ -17,11 +17,11 @@ import numpy as np
 import pytest
 from jax.test_util import check_grads
 
-jax.config.update("jax_enable_x64", True)
-
 
 @pytest.fixture(autouse=True)
 def _x64():
+    # per-test only — a module-level update would leak x64 into every
+    # other test collected by the same xdist worker
     jax.config.update("jax_enable_x64", True)
     yield
     jax.config.update("jax_enable_x64", False)

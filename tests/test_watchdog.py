@@ -38,7 +38,7 @@ def test_stalled_child_killed_and_restarted(tmp_path):
         "time.sleep(300)\n"
     )
     rc = run_with_watchdog([sys.executable, "-c", child], log, str(ckpt),
-                           stall_s=2, max_restarts=2, poll_s=0.3)
+                           stall_s=5, max_restarts=2, poll_s=0.3)
     assert rc == 0
     txt = open(log).read()
     assert "hanging" in txt and "watchdog restart 1" in txt
