@@ -1,6 +1,9 @@
 """Component-level timing of the render pipeline on the current backend."""
 import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp

@@ -7,7 +7,11 @@ the two alternatives the pipeline can switch to — row-gather
 reconstruction and XLA scatter.  One JSON line per config.
 """
 import json
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
