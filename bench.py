@@ -46,32 +46,48 @@ def _bench_scene(width, height, n_anchors, k, seed):
     return cfg, scaffold, cam
 
 
-def count_instances(width, height, n_anchors=30000, k=10, seed=0) -> int:
-    """Emission count of the bench scene — a tiny separate program, so
-    the big fwd+bwd graph compiles once at the right capacity tier (the
-    tier training's overflow logic would settle at)."""
+def count_instances(width, height, n_anchors=30000, k=10, seed=0):
+    """(instances, rows) emission demand of the bench scene — tiny
+    separate programs, so the big fwd+bwd graph compiles once at the
+    right capacity tier (the tier training's overflow logic would settle
+    at).  Row-tight aware: the first pass counts rect rows exactly
+    (N-scale), the second counts the row-tight instances at a row table
+    sized from the first."""
     import jax
     import jax.numpy as jnp
     from gscream_tpu.model.scaffold import decode
+    from gscream_tpu.ops.binning import emission_counts
     from gscream_tpu.ops.projection import preprocess
     from gscream_tpu.ops.rasterize_tiled import TILE_H, TILE_W
 
     cfg, scaffold, cam = _bench_scene(width, height, n_anchors, k, seed)
 
-    @jax.jit
-    def count(params, mlps):
+    def splat(params, mlps):
         st = scaffold._replace(params=params, mlps=mlps)
         dec = decode(st, cam.cam_center, None, cfg)
-        splats = preprocess(
+        return preprocess(
             dec.xyz, dec.scale, dec.rot, cam.w2c, cam.full_proj,
             width, height, cam.tan_fovx, cam.tan_fovy,
             tile_w=TILE_W, tile_h=TILE_H, active_mask=dec.active,
             opacity=dec.opacity)
-        rw = splats.rect_max[:, 0] - splats.rect_min[:, 0]
-        rh = splats.rect_max[:, 1] - splats.rect_min[:, 1]
-        return jnp.sum(jnp.where(splats.radius > 0, rw * rh, 0))
 
-    return int(count(scaffold.params, scaffold.mlps))
+    @jax.jit
+    def count_rows(params, mlps):
+        s = splat(params, mlps)
+        rh = s.rect_max[:, 1] - s.rect_min[:, 1]
+        rw = s.rect_max[:, 0] - s.rect_min[:, 0]
+        ok = (s.radius > 0) & (rw > 0)
+        return jnp.sum(jnp.where(ok, rh, 0))
+
+    n_rows = int(count_rows(scaffold.params, scaffold.mlps))
+    row_cap = max(-(-max(n_rows, 1) // 8) * 8, 8)
+
+    def count_inst(params, mlps):
+        return emission_counts(splat(params, mlps), TILE_W, TILE_H,
+                               row_cap)[0]
+
+    n_inst = int(jax.jit(count_inst)(scaffold.params, scaffold.mlps))
+    return n_inst, n_rows
 
 
 def build_workload(width, height, n_anchors=30000, k=10, seed=0,
@@ -107,9 +123,10 @@ def build_workload(width, height, n_anchors=30000, k=10, seed=0,
                               dec.color, splats.depth, dec.uncertainty,
                               binning, jnp.zeros(3), width, height,
                               interpret)
+        from gscream_tpu.ops.binning import overflow_demand
         return (jnp.mean(jnp.abs(out.color - target))
                 + 0.1 * jnp.mean(out.depth) + 0.05 * jnp.mean(
-                    out.uncertainty)), binning.num_instances
+                    out.uncertainty)), overflow_demand(binning)
 
     grad_fn = jax.jit(jax.value_and_grad(loss_fn, argnums=(0, 1),
                                          has_aux=True))
@@ -121,8 +138,8 @@ def time_config(width, height, iters=10):
     # capacity tier: the tier training's overflow logic would settle at
     # (train/loop.py::capacity_tier — pow2/8 granularity)
     from gscream_tpu.train.loop import capacity_tier
-    n_emit = count_instances(width, height)
-    capacity = max(capacity_tier(n_emit), 1 << 14)
+    n_emit, n_rows = count_instances(width, height)
+    capacity = max(capacity_tier(max(n_emit, 2 * n_rows)), 1 << 14)
     grad_fn, args = build_workload(width, height, capacity=capacity)
     # warmup + compile
     out = grad_fn(*args)

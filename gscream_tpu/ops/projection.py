@@ -60,6 +60,10 @@ class Splats(NamedTuple):
     cov2d: jnp.ndarray     # (N,3) dilated 2D covariance (a,b,c), for debugging/tests
     rect_min: jnp.ndarray  # (N,2) int32 inclusive tile rect start (x,y)
     rect_max: jnp.ndarray  # (N,2) int32 exclusive tile rect end (x,y)
+    t_iso: jnp.ndarray | None = None
+    # (N,) iso-threshold t = ln(255·op)+guard of the α ≥ 1/255 level set
+    # (>0 exactly where tight emission applies; 0 ⇒ the gaussian emits
+    # nothing).  None ⇒ tight culling off: emission uses the full rect.
 
 
 def quat_to_rotmat(q: jnp.ndarray) -> jnp.ndarray:
@@ -354,10 +358,12 @@ def preprocess(means3d: jnp.ndarray, scales: jnp.ndarray, rots: jnp.ndarray,
         rmax_x = jnp.maximum(rmax_x, rmin_x)   # keep rects non-negative
         rmax_y = jnp.maximum(rmax_y, rmin_y)
         vzi = emit.astype(jnp.int32)
+        t_iso = jnp.where(emit, t_pos, 0.0)
     else:
         rmin_x, rmin_y = ref_rmin_x, ref_rmin_y
         rmax_x, rmax_y = ref_rmax_x, ref_rmax_y
         vzi = visible.astype(jnp.int32)
+        t_iso = None
 
     return Splats(
         mean2d=jnp.stack([mean_x, mean_y], axis=-1),
@@ -367,7 +373,8 @@ def preprocess(means3d: jnp.ndarray, scales: jnp.ndarray, rots: jnp.ndarray,
         rect_min=jnp.stack([rmin_x.astype(jnp.int32) * vzi,
                             rmin_y.astype(jnp.int32) * vzi], axis=-1),
         rect_max=jnp.stack([rmax_x.astype(jnp.int32) * vzi,
-                            rmax_y.astype(jnp.int32) * vzi], axis=-1))
+                            rmax_y.astype(jnp.int32) * vzi], axis=-1),
+        t_iso=t_iso)
 
 
 def visible_filter(means3d, scales, rots, camera, scale_modifier=1.0):

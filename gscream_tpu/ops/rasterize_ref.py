@@ -108,7 +108,7 @@ def rasterize_sequential(splats: Splats, colors, opacities, uncertainties,
     ``done`` freeze, for validation of :func:`rasterize_scan`.
     """
     order = _depth_order(splats)
-    s = Splats(*(x[order] for x in splats))
+    s = Splats(*((x[order] if x is not None else None) for x in splats))
     colors = colors[order]
     opacities = opacities[order]
     uncertainties = uncertainties[order]
@@ -192,7 +192,7 @@ def rasterize_scan(splats: Splats, colors, opacities, uncertainties, bg,
     as the reference freezes its saved contributor counts).
     """
     order = _depth_order(splats)
-    s = Splats(*(x[order] for x in splats))
+    s = Splats(*((x[order] if x is not None else None) for x in splats))
     colors = colors[order]
     opacities = opacities[order]
     uncertainties = uncertainties[order]

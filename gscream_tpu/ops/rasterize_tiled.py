@@ -69,7 +69,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .binning import Binning, bin_instances
+from .binning import Binning, bin_instances, overflow_demand
 from .projection import ALPHA_MIN, T_STOP, Splats, preprocess
 
 # ---------------------------------------------------------------------------
@@ -826,14 +826,30 @@ def segment_reduce_grads(conv, binning: Binning, n_gauss: int,
                          interpret: bool):
     """(capacity, 16) sorted-order instance rows → (N, 16) per-gaussian sums.
 
-    Pipeline: carry the 11 used grad columns through one multi-operand
-    stable sort on the emission slot (TPU sorts stream sequentially where
-    gathers pay random access), pack 8 instances per 128-lane row, then
-    run the indicator-matmul reduction kernel.
+    Sorted-order rows reach emission order by applying the known
+    permutation ``emit_slot``; mode GSCREAM_REORDER selects how:
+
+    * ``gather`` (default): invert the permutation (aux 2-operand sort)
+      then row-gather — round-3 hardware A/B: 104 ms step vs 119 ms for
+      the sort mode at the 1.57 M tier;
+    * ``scatter``: one row scatter ``out[emit_slot[i]] = row[i]`` —
+      emit_slot is a permutation (unique destinations) so it is valid and
+      bit-exact, and a standalone row-scatter micro-benches ~0.05 ms/M
+      rows, but IN-GRAPH XLA lowers it element-rate bound (step 201 ms —
+      the same pathology as the GSCREAM_SCATTER_REDUCE fallback);
+    * ``sort``: carry the 11 used grad columns through one multi-operand
+      stable sort on the emission slot (the round-1/2 default).
+
+    Then pack 8 instances per 128-lane row and run the indicator-matmul
+    reduction kernel.
     """
     cap = binning.emit_slot.shape[0]
-    if os.environ.get("GSCREAM_REORDER_GATHER"):
-        # row-gather variant (random access; ~46 ms at 2M rows)
+    mode = os.environ.get("GSCREAM_REORDER", "gather")
+    if mode == "scatter":
+        ge = jnp.zeros((cap, 16), jnp.float32).at[
+            binning.emit_slot].set(conv, mode='drop',
+                                   unique_indices=True)
+    elif mode == "gather":
         iota = jnp.arange(cap, dtype=jnp.int32)
         _, inv = jax.lax.sort((binning.emit_slot, iota), num_keys=1,
                               is_stable=True)      # inv[e] = sorted pos
@@ -956,9 +972,10 @@ def _raster_bwd(width, height, interpret, res, g: TiledOut):
     # the f32 sorted attrs (true gradients flow through the analytic
     # per-gaussian chain above, so the pass-through copy gets zeros)
     d_binning = jax.tree.map(
-        lambda x: (np.zeros(x.shape, jax.dtypes.float0)
-                   if jnp.issubdtype(x.dtype, jnp.integer)
-                   else jnp.zeros(x.shape, x.dtype)), binning)
+        lambda x: (np.zeros(jnp.shape(x), jax.dtypes.float0)
+                   if jnp.issubdtype(jnp.result_type(x), jnp.integer)
+                   else jnp.zeros(jnp.shape(x), jnp.result_type(x))),
+        binning)
     return (d_mean2d, d_conic, d_op, d_col, d_depth, d_unc, d_binning, d_bg)
 
 
@@ -990,6 +1007,7 @@ def render_tiled(means3d, scales, rots, colors, opacity, unc, camera, bg,
     out = rasterize_tiled(splats.mean2d, splats.conic, opacity, colors,
                           splats.depth, unc, binning, bg,
                           camera.width, camera.height, interpret)
-    aux = {"radius": splats.radius, "num_instances": binning.num_instances,
+    aux = {"radius": splats.radius,
+           "num_instances": overflow_demand(binning),
            "capacity": capacity, "splats": splats}
     return out, aux

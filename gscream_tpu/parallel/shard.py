@@ -32,7 +32,7 @@ from jax import shard_map
 from ..cameras import Camera
 from ..config import OptimConfig
 from ..model.scaffold import ScaffoldConfig, ScaffoldState, decode
-from ..ops.binning import bin_instances
+from ..ops.binning import bin_instances, overflow_demand
 from ..ops.projection import preprocess
 from ..ops import rasterize_tiled as rt
 from ..ops.rasterize_tiled import ILANES, PIX, TILE_H, TILE_W, TiledOut
@@ -369,7 +369,9 @@ def make_sharded_train_step(mesh, cfg: ScaffoldConfig, opt: OptimConfig,
             # densification aux (identical on every band device of a view)
             gauss_valid = (dec.active & (splats.radius > 0)).reshape(C, k)
             n_active = jnp.sum(dec.active.astype(jnp.int32))
-            return (loss, loss_rep, l1, binning.num_instances[None],
+            # overflow_demand: instance count ∨ 2·row-table rows — one
+            # capacity-comparable number for the caller's tier retry
+            return (loss, loss_rep, l1, overflow_demand(binning)[None],
                     n_active[None], dec.neural_opacity[None],
                     gauss_valid[None])
         return local_fn

@@ -34,7 +34,7 @@ from ..model.scaffold import Decoded, MLPParams, ScaffoldConfig, \
     ScaffoldState, decode
 from ..ops import losses as L
 from ..ops.attention import bidirectional_attn
-from ..ops.binning import bin_instances
+from ..ops.binning import bin_instances, overflow_demand
 from ..ops.projection import preprocess
 from ..ops.rasterize_tiled import TILE_H, TILE_W, rasterize_tiled
 from ..ops.ssim import ssim, ssim_masked
@@ -326,7 +326,11 @@ def train_step(ts: TrainState, camera: Camera, gt_image, gt_mask,
     new_ts = ts._replace(scaffold=new_scaffold, m=new_m, v=new_v,
                          step=step1, step_c=step_c1,
                          stats=stats, key=key)
-    aux = StepAux(loss=loss, l1=l1, num_instances=binning.num_instances,
+    # overflow_demand folds the instance count and the row-tight row-table
+    # demand (capacity//2) into one capacity-comparable number, so the
+    # loop's single tier check/retry covers both static tables
+    aux = StepAux(loss=loss, l1=l1,
+                  num_instances=overflow_demand(binning),
                   n_active=jnp.sum(dec.active.astype(jnp.int32)),
                   cross_ok=cross_ok)
     return new_ts, aux

@@ -55,13 +55,19 @@ def main():
         active_mask=d.active, opacity=d.opacity))
     splats = timeit(pre_fn, dec, label="preprocess (tight cull)")
 
-    # bench-identical capacity: fitted tier over the emission count
+    # bench-identical capacity: fitted tier over the (row-tight-aware)
+    # emission demand, exactly as bench.py::count_instances fits it
+    from gscream_tpu.ops.binning import emission_counts
     from gscream_tpu.train.loop import capacity_tier
     rw = splats.rect_max[:, 0] - splats.rect_min[:, 0]
     rh = splats.rect_max[:, 1] - splats.rect_min[:, 1]
-    n_emit = int(jnp.sum(jnp.where(splats.radius > 0, rw * rh, 0)))
-    capacity = max(capacity_tier(n_emit), 1 << 14)
-    print(f"emitted {n_emit}  capacity tier {capacity}")
+    ok = (splats.radius > 0) & (rw > 0)
+    n_rows = int(jnp.sum(jnp.where(ok, rh, 0)))
+    row_cap = max(-(-max(n_rows, 1) // 8) * 8, 8)
+    n_emit = int(jax.jit(lambda s: emission_counts(
+        s, TILE_W, TILE_H, row_cap)[0])(splats))
+    capacity = max(capacity_tier(max(n_emit, 2 * n_rows)), 1 << 14)
+    print(f"emitted {n_emit}  rows {n_rows}  capacity tier {capacity}")
 
     bin_fn = jax.jit(lambda s, d: bin_instances(
         s, capacity, width, height, TILE_W, TILE_H,
