@@ -112,8 +112,9 @@ def build_workload(width, height, n_anchors=30000, k=10, seed=0,
             width, height, cam.tan_fovx, cam.tan_fovy,
             tile_w=TILE_W, tile_h=TILE_H, active_mask=dec.active,
             opacity=dec.opacity)
-        # training configuration: exact (tile, depth) lexicographic sort,
-        # attributes carried as sort payload (gather-free packing)
+        # training configuration: exact (tile, depth) lexicographic sort;
+        # attrs default to post-sort per-instance re-gather (the round-3
+        # hardware A/B winner) unless GSCREAM_ATTRS_PAYLOAD=1
         binning = bin_instances(
             splats, capacity, width, height, TILE_W, TILE_H, precise=True,
             attrs=jax.lax.stop_gradient(gauss_attrs(
@@ -126,7 +127,8 @@ def build_workload(width, height, n_anchors=30000, k=10, seed=0,
         from gscream_tpu.ops.binning import overflow_demand
         return (jnp.mean(jnp.abs(out.color - target))
                 + 0.1 * jnp.mean(out.depth) + 0.05 * jnp.mean(
-                    out.uncertainty)), overflow_demand(binning)
+                    out.uncertainty)), (binning.num_instances,
+                                        overflow_demand(binning))
 
     grad_fn = jax.jit(jax.value_and_grad(loss_fn, argnums=(0, 1),
                                          has_aux=True))
@@ -137,21 +139,22 @@ def time_config(width, height, iters=10):
     import jax
     # capacity tier: the tier training's overflow logic would settle at
     # (train/loop.py::capacity_tier — pow2/8 granularity)
+    from gscream_tpu.ops.binning import ROW_RATIO
     from gscream_tpu.train.loop import capacity_tier
     n_emit, n_rows = count_instances(width, height)
-    capacity = max(capacity_tier(max(n_emit, 2 * n_rows)), 1 << 14)
+    capacity = max(capacity_tier(max(n_emit, ROW_RATIO * n_rows)), 1 << 14)
     grad_fn, args = build_workload(width, height, capacity=capacity)
     # warmup + compile
     out = grad_fn(*args)
     jax.block_until_ready(out)
-    n_inst = int(out[0][1])
-    assert n_inst <= capacity, (n_inst, capacity)
+    n_inst, demand = (int(v) for v in out[0][1])
+    assert demand <= capacity, (demand, capacity)
     t0 = time.perf_counter()
     for _ in range(iters):
         out = grad_fn(*args)
     jax.block_until_ready(out)
     dt = (time.perf_counter() - t0) / iters
-    return width * height / dt, dt, n_inst, capacity
+    return width * height / dt, dt, n_inst, demand, capacity
 
 
 
@@ -241,12 +244,12 @@ def main():
     try:
         import jax
         backend = jax.default_backend()
-        rays, dt, n_inst, cap = time_config(1297, 840, iters=10)
+        rays, dt, n_inst, demand, cap = time_config(1297, 840, iters=10)
         extra = {}
         # the secondary config doubles (remote) compile time — opt-in
         if os.environ.get("GSCREAM_BENCH_EXTRA"):
             try:
-                rays_q, dt_q, _, _ = time_config(1008, 567, iters=10)
+                rays_q, dt_q, _, _, _ = time_config(1008, 567, iters=10)
                 extra = {"rays_per_s_1008x567": rays_q,
                          "iter_ms_1008x567": dt_q * 1e3}
             except Exception:
@@ -258,6 +261,7 @@ def main():
             "vs_baseline": rays / BASELINE_RAYS_PER_S,
             "iter_ms": dt * 1e3,
             "instances": n_inst,
+            "overflow_demand": demand,
             "capacity": cap,
             "tight_cull": not os.environ.get(
                 "GSCREAM_TIGHT_CULL") == "0",

@@ -25,9 +25,12 @@ Design for XLA (static shapes, SURVEY.md §7 hard part 2):
   optional packed single-key fast mode (quantized depth);
 * capacity is static; overflow is *reported*, never silent (the caller can
   retry with the next capacity tier).  Row-tight mode also needs a row
-  table of static size ``capacity // 2``; ``num_rows`` reports its true
-  demand, and :func:`overflow_demand` folds both checks into one number
-  comparable against ``capacity``.
+  table of static size ``capacity // ROW_RATIO``; ``num_rows`` reports its
+  true demand, and :func:`overflow_demand` folds both checks into one
+  number comparable against ``capacity``.  ROW_RATIO (GSCREAM_ROW_RATIO,
+  default 2 ≈ mean tiles per rect row) trades instance-capacity headroom
+  against row-table headroom: scenes dominated by thin 1-tile-wide rows
+  can drop it to 1 so row demand stops inflating the fitted capacity tier.
 """
 from __future__ import annotations
 
@@ -40,6 +43,18 @@ import jax.numpy as jnp
 import numpy as np
 
 from .projection import Splats
+
+# instance-slots per row-table slot (the row table is sized
+# capacity // ROW_RATIO).  2 matches the observed mean row width of
+# SPIN-scale scenes; ADVICE r3: thin-gaussian-heavy scenes whose mean rect
+# row covers <2 tiles can set GSCREAM_ROW_RATIO=1 so the doubled row
+# demand in overflow_demand stops sizing every capacity-shaped cost.
+ROW_RATIO = max(int(os.environ.get("GSCREAM_ROW_RATIO", "2")), 1)
+
+
+def row_table_size(capacity: int) -> int:
+    """Static row-table length used by row-tight emission at ``capacity``."""
+    return capacity // ROW_RATIO
 
 
 class Binning(NamedTuple):
@@ -62,11 +77,12 @@ def overflow_demand(binning: Binning) -> jnp.ndarray:
     """Smallest capacity at which this emission would NOT overflow.
 
     Instances need ``capacity >= num_instances``; the row-tight row table
-    is sized ``capacity // 2``, so rows need ``capacity >= 2*num_rows``.
-    Compare against the static capacity used (and size retry tiers from
-    it) exactly like ``num_instances`` alone was used before.
+    is sized ``capacity // ROW_RATIO``, so rows need
+    ``capacity >= ROW_RATIO * num_rows``.  Compare against the static
+    capacity used (and size retry tiers from it) exactly like
+    ``num_instances`` alone was used before.
     """
-    return jnp.maximum(binning.num_instances, 2 * binning.num_rows)
+    return jnp.maximum(binning.num_instances, ROW_RATIO * binning.num_rows)
 
 
 def num_tiles(width: int, height: int, tile_w: int, tile_h: int) -> int:
@@ -224,7 +240,8 @@ def bin_instances(splats: Splats, capacity: int, width: int, height: int,
     If ``num_instances > capacity`` the trailing instances (highest gaussian
     indices in emission order) are dropped deterministically; callers must
     check and re-run at a larger capacity tier for exact rendering.  In
-    row-tight mode the row table (static ``capacity // 2``) can likewise
+    row-tight mode the row table (static ``capacity // ROW_RATIO``) can
+    likewise
     overflow — check :func:`overflow_demand`, not num_instances alone.
 
     ``precise=True`` (training default) sorts by exact depth within each
@@ -303,10 +320,9 @@ def bin_instances(splats: Splats, capacity: int, width: int, height: int,
         # is unchanged); stage 2 maps instance slots onto rows.
         extra = [gdepth_bits] + ([rank] if fused_exact else []) \
             + [_bits(attrs[:, i]) for i in range(n_attr)]
+        row_cap = row_table_size(capacity)
         (rg, ty, txmin, w_row, ioffs, row_offs, total, total_rows,
-         extra_r) = _row_table(splats, capacity // 2, tile_w, tile_h,
-                               extra)
-        row_cap = capacity // 2
+         extra_r) = _row_table(splats, row_cap, tile_w, tile_h, extra)
         rslot = jnp.arange(row_cap, dtype=jnp.int32)
         first_slot = jnp.where(w_row > 0, ioffs, capacity)
         marks = jnp.zeros((capacity,), jnp.int32).at[first_slot].max(

@@ -845,6 +845,10 @@ def segment_reduce_grads(conv, binning: Binning, n_gauss: int,
     """
     cap = binning.emit_slot.shape[0]
     mode = os.environ.get("GSCREAM_REORDER", "gather")
+    if mode not in ("gather", "scatter", "sort"):
+        raise ValueError(
+            f"GSCREAM_REORDER={mode!r}: must be one of "
+            "'gather', 'scatter', 'sort'")
     if mode == "scatter":
         ge = jnp.zeros((cap, 16), jnp.float32).at[
             binning.emit_slot].set(conv, mode='drop',

@@ -57,7 +57,7 @@ def main():
 
     # bench-identical capacity: fitted tier over the (row-tight-aware)
     # emission demand, exactly as bench.py::count_instances fits it
-    from gscream_tpu.ops.binning import emission_counts
+    from gscream_tpu.ops.binning import ROW_RATIO, emission_counts
     from gscream_tpu.train.loop import capacity_tier
     rw = splats.rect_max[:, 0] - splats.rect_min[:, 0]
     rh = splats.rect_max[:, 1] - splats.rect_min[:, 1]
@@ -66,7 +66,7 @@ def main():
     row_cap = max(-(-max(n_rows, 1) // 8) * 8, 8)
     n_emit = int(jax.jit(lambda s: emission_counts(
         s, TILE_W, TILE_H, row_cap)[0])(splats))
-    capacity = max(capacity_tier(max(n_emit, 2 * n_rows)), 1 << 14)
+    capacity = max(capacity_tier(max(n_emit, ROW_RATIO * n_rows)), 1 << 14)
     print(f"emitted {n_emit}  rows {n_rows}  capacity tier {capacity}")
 
     bin_fn = jax.jit(lambda s, d: bin_instances(

@@ -167,7 +167,9 @@ def test_counts_and_overflow():
     ni, nr = emission_counts(splats, TW, TH, -(-max(n_rows, 1) // 8) * 8)
     assert int(ni) == int(b.num_instances)
     assert int(nr) == n_rows
-    assert int(overflow_demand(b)) == max(int(b.num_instances), 2 * n_rows)
+    from gscream_tpu.ops.binning import ROW_RATIO
+    assert int(overflow_demand(b)) == max(
+        int(b.num_instances), ROW_RATIO * n_rows)
     # a capacity too small for the row table must push the demand above it
     small = 64
     b2 = bin_instances(splats, small, W, H, TW, TH, row_tight=True)

@@ -225,12 +225,20 @@ def test_trajectory_matches_single_device(scene):
     # by test_sharded_loss_*).  atol is therefore a few lr·steps, and
     # row-tight emission (r3) reshuffling which instances sit on band
     # boundaries is expected to move individual elements within it.
+    # ADVICE r3: the loose bound alone would tolerate ~5% divergence
+    # everywhere — additionally require that the Adam-random-walk
+    # population is SMALL: ≥99.5% of elements must still meet the tight
+    # pre-r3 tolerance (rtol 5e-3, atol 5e-4).
+    n_bad = n_tot = 0
     for a, b in zip(jax.tree.leaves((ts_a.scaffold.params,
                                      ts_a.scaffold.mlps)),
                     jax.tree.leaves((ts_b.scaffold.params,
                                      ts_b.scaffold.mlps))):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                   rtol=5e-2, atol=5e-3)
+        a, b = np.asarray(a), np.asarray(b)
+        np.testing.assert_allclose(a, b, rtol=5e-2, atol=5e-3)
+        n_bad += int(np.sum(np.abs(a - b) > 5e-4 + 5e-3 * np.abs(b)))
+        n_tot += a.size
+    assert n_bad <= max(n_tot // 200, 8), (n_bad, n_tot)
     # densify stats identical paths
     np.testing.assert_allclose(np.asarray(ts_a.stats.anchor_demon),
                                np.asarray(ts_b.stats.anchor_demon))
