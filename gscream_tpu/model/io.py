@@ -138,6 +138,52 @@ def load_mlps_npz(path: str, template):
     return type(template)(**new)
 
 
+def load_trained_scaffold(model_path: str, iteration: int = -1):
+    """Trained-model restore: ``<model>/cfg.json`` +
+    ``point_cloud/iteration_<N>/{point_cloud.ply, mlp_checkpoints.npz}`` →
+    a ready ScaffoldState (the reference Scene ``load_iteration`` path,
+    scene/__init__.py:141-149).  Returns (scaffold, scaffold_cfg, it)."""
+    import jax
+
+    from ..config import ModelConfig, RunConfig, load_config
+    from .scaffold import ScaffoldConfig, init_scaffold
+
+    cfg_path = os.path.join(model_path, "cfg.json")
+    if os.path.exists(cfg_path):
+        run = load_config(cfg_path)
+    else:
+        run = RunConfig(model=ModelConfig())
+    m = run.model
+    cfg = ScaffoldConfig(
+        feat_dim=m.feat_dim, n_offsets=m.n_offsets,
+        voxel_size=m.voxel_size, capacity=m.anchor_capacity,
+        attn_heads=run.optim.attn_head_num,
+        attn_head_dim=run.optim.attn_head_dim,
+        use_feat_bank=m.use_feat_bank)
+
+    base = os.path.join(model_path, "point_cloud")
+    its = [int(d.split("_")[-1]) for d in os.listdir(base)
+           if d.startswith("iteration_")]
+    if not its:
+        raise FileNotFoundError(f"no point_cloud/iteration_* under "
+                                f"{model_path}")
+    it = max(its) if iteration < 0 else iteration
+    ply_dir = os.path.join(base, f"iteration_{it}")
+
+    params, alive = load_anchors_ply(
+        os.path.join(ply_dir, "point_cloud.ply"), cfg)
+    # dummy cloud: only the pytree SHAPES matter, params/alive are replaced
+    dummy = np.linspace(0.0, 1.0, 24, dtype=np.float32).reshape(8, 3)
+    scaffold = init_scaffold(jax.random.PRNGKey(0), dummy, cfg,
+                             voxel_size=1e-3)._replace(
+        params=params, alive=alive)
+    mlp_path = os.path.join(ply_dir, "mlp_checkpoints.npz")
+    if os.path.exists(mlp_path):
+        scaffold = scaffold._replace(
+            mlps=load_mlps_npz(mlp_path, scaffold.mlps))
+    return scaffold, cfg, it
+
+
 def write_scene_artifacts(model_path: str, views, points) -> None:
     """The reference Scene's load-time artifacts (scene/__init__.py:62-78):
     ``input.ply`` (the initial cloud) and ``cameras.json`` (test cams then

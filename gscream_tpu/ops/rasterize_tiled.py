@@ -4,18 +4,19 @@ TPU-native replacement for the reference CUDA tile renderer
 (``cuda_rasterizer/forward.cu:441-568`` and ``backward.cu:409-604``), built
 around four ideas that map the splatting math onto TPU hardware:
 
-1. **Quadratic-basis MXU evaluation.**  For every (instance, pixel) pair the
-   gaussian exponent is a degree-2 polynomial in the pixel coordinates, so a
-   whole chunk of G instances × P pixels of ``power`` values is one
-   ``(G,16) @ (16,P)`` matmul against the constant pixel basis
-   ``[1, x, y, x², xy, y²]`` — the MXU computes what CUDA evaluates with
-   per-thread scalar math.  The six per-instance polynomial coefficients are
-   precomputed *outside* the kernel (in tile-local coordinates, so fp32
-   precision holds): the kernel does zero per-instance preprocessing and
-   uses only the first 16 lanes of each 128-lane instance row (Mosaic
-   requires 128-lane-aligned HBM rows for the chunk DMA; a denser 8
-   instances/row packing needs tile ranges 8-aligned in the sort — a
-   possible future bandwidth optimization).
+1. **Quadratic-basis evaluation.**  For every (instance, pixel) pair the
+   gaussian exponent is a degree-2 polynomial in the pixel coordinates:
+   per φ-lane-group the (R,1) coefficient columns broadcast-FMA against
+   (1,PIX) coordinate rows on the VPU, or (GSCREAM_MXU_POWER=1) a whole
+   chunk evaluates as one ``(8R,6) @ (6,PIX)`` matmul against the constant
+   pixel basis ``[1, x, y, x², xy, y²]`` on the MXU.  The six per-instance
+   coefficients are derived from the raw attributes in tile-local
+   coordinates (so fp32 precision holds) — in-kernel by default (raw
+   mode), amortized over the tile's 1024 pixels.  Instances pack 8 per
+   128-lane HBM row (16 lanes each) on both the input and the
+   grad-output side; tile ranges need no alignment — boundary instances
+   of neighbouring tiles ride along masked (slot_valid), and boundary
+   grad rows merge via a lane-granular head-skip DMA.
 
 2. **Prefix-scan transmittance.**  The sequential front-to-back blend
    ``T ← T·(1-α)`` becomes a cumulative sum of ``log1p(-α)`` along the
@@ -50,12 +51,24 @@ back-to-front (``accum_rec``) are obtained from the identity
 with ``Total = (C − T·bg)·gC + D·gD + U·gU`` available from saved forward
 outputs, so the backward also runs front-to-back in one pass.
 
-Instance lane layout (lanes 0..15 of a 128-lane row):
-    0: opacity   1-5: r,g,b,depth,unc   6-11: k0..k5 (power coefficients,
-    tile-local)   12: sx = origin_x − round(mean_x)   13: sy   14,15: 0
-Backward output lane layout (lanes 0..15 of a 128-lane row):
-    1-5: channel grads (w-weighted sums)   6-11: moments of X against the
-    tile-local basis [1, x, y, x², xy, y²]   0,12-15: 0
+Instance lane layout (lanes 0..15 of a 128-lane row) — two modes:
+
+* **legacy mode** (GSCREAM_KERNEL_COEFF=0, default): lanes are precomputed
+  [op, r, g, b, depth, unc, k0..k5, sx, sy, 0, 0] with k0..k5 the
+  tile-local power coefficients and sx = origin_x − round(mean_x);
+* **raw mode** (GSCREAM_KERNEL_COEFF=1): lanes hold the per-GAUSSIAN
+  attributes [op, r, g, b, depth, unc, mx, my, ca, cb, cc, 0×5] and the
+  kernels derive the tile-local power polynomial and the centering
+  shifts (sx, sy) themselves from the tile origin — deletes the
+  capacity-scale packing interleave outside, but the r4 hardware A/B
+  (99.2 vs 94.8 ms) showed the ~12 extra column ops per instance cost
+  the VPU-bound kernels more than the pack saved; kept selectable for
+  re-evaluation at other workload shapes.
+
+Backward output layout: 8 instances per 128-lane row (lane group
+16·(i%8)), each 16 lanes: 1-5: channel grads (w-weighted sums), 6-11:
+moments of X against the tile-local basis [1, x, y, x², xy, y²],
+0,12-15: 0.  A free reshape recovers (capacity, 16) rows.
 """
 from __future__ import annotations
 
@@ -80,7 +93,7 @@ TILE_H = 32           # pixels per tile, y   (= one (8,128) f32 vreg block)
 PIX = TILE_W * TILE_H
 LANES = 128
 ILANES = 16           # used floats per instance (8 instances per 128-lane
-                      # packed row; grad output rows stay 1/instance)
+                      # packed row, on both the input and grad-output side)
 # chunk sizes are env-tunable for hardware A/B sweeps (compile-time
 # constants; invalid values fail loudly at kernel build)
 CHUNK_F = int(os.environ.get("GSCREAM_CHUNK_F", 1024))
@@ -90,6 +103,17 @@ RPC_B = CHUNK_B // 8  # bwd packed rows per inner step (VMEM-bound: 3
                       # per-φ scratch plane sets held across the passes)
 assert CHUNK_F % 8 == 0 and CHUNK_B % 8 == 0
 PAD_SLOTS = 1024      # slack instance rows absorbing chunk tail overruns
+# the sentinel zero-fill relies on PAD_SLOTS covering one full backward
+# chunk of packed rows (see the zero loops in _bwd_kernel)
+assert CHUNK_B <= PAD_SLOTS
+
+# raw mode: kernels receive per-gaussian attrs and compute the tile-local
+# power coefficients + centering shifts in-kernel (see module docstring).
+# Hardware A/B (r4, 1297x840 @ 1.22M instances): raw 99.2 ms vs legacy
+# 94.8 ms — the in-kernel recompute costs more VPU time on the VPU-bound
+# kernels than the deleted packing interleave saves, so legacy
+# (precomputed coefficients) is the default.
+KERNEL_COEFF = os.environ.get("GSCREAM_KERNEL_COEFF", "0") == "1"
 
 _HIGHEST = jax.lax.Precision.HIGHEST
 
@@ -127,16 +151,24 @@ def pack_instance_data(mean2d, conic, opacity, colors, depth, unc,
     When the binning carried the attributes through its sort
     (``binning.attrs``) this is gather-free; otherwise one (N,11)
     row-gather (TPU gathers pay per-row overhead — scalar gathers of the
-    same element count are ~20× slower, profiled).  The tile-local power
-    polynomial ``power(x,y) = k0 + k1·x + k2·y + k3·x² + k4·xy + k5·y²``
-    is precomputed per instance, so the kernels do no per-instance math at
-    all.  Rows are 128 lanes (Mosaic DMA alignment), lanes 0..15 used.
+    same element count are ~20× slower, profiled).  In raw mode
+    (KERNEL_COEFF) that is ALL this function does — the kernels
+    derive the tile-local power polynomial themselves, so packing is one
+    pad+reshape over the attribute rows.  In legacy mode the tile-local
+    ``power(x,y) = k0 + k1·x + k2·y + k3·x² + k4·xy + k5·y²`` coefficients
+    and centering shifts are precomputed per instance here (a
+    capacity-scale 16-column lane interleave, ~6 ms at the bench tier).
+    Rows are 128 lanes (Mosaic DMA alignment), 8 instances per row.
     """
     if binning.attrs is not None:
         a = binning.attrs                          # (cap, 11) pre-sorted
     else:
         attrs = gauss_attrs(mean2d, conic, opacity, colors, depth, unc)
         a = attrs[binning.gauss_id]                # (cap, 11) row gather
+    if KERNEL_COEFF:
+        data16 = jnp.pad(a, ((0, PAD_SLOTS), (0, 16 - a.shape[1])))
+        cap = a.shape[0]
+        return data16.reshape((cap + PAD_SLOTS) // 8, LANES)
     tile = binning.tile_id
     ox = ((tile % grid_x) * TILE_W).astype(jnp.float32)
     oy = ((tile // grid_x) * TILE_H).astype(jnp.float32)
@@ -225,9 +257,32 @@ def _strict_lower_tri(n: int):
 
 
 MXU_POWER = os.environ.get("GSCREAM_MXU_POWER") == "1"
+if MXU_POWER and KERNEL_COEFF:
+    raise RuntimeError(
+        "GSCREAM_MXU_POWER=1 requires the legacy precomputed-coefficient "
+        "packing (set GSCREAM_KERNEL_COEFF=0): the MXU power contraction "
+        "reads k0..k5 from the instance lanes")
 
 
-def _phi_blend(d, xr, yr, slot_valid, power=None):
+def _raw_coeffs(d, origin):
+    """Raw-mode lanes → tile-local power coefficients, as (R,1) columns.
+
+    d lanes: 6,7 = mean x/y (global pixels), 8,9,10 = conic (a,b,c).
+    Same f32 expression structure as the legacy pack_instance_data, so
+    the per-pixel polynomial below is numerically identical; the ~12
+    column ops here amortize over the tile's 1024 pixels.
+    """
+    oxf, oyf = origin
+    mxl = d[:, 6:7] - oxf
+    myl = d[:, 7:8] - oyf
+    ca, cb, cc = d[:, 8:9], d[:, 9:10], d[:, 10:11]
+    k0 = -0.5 * (ca * mxl * mxl + cc * myl * myl) - cb * mxl * myl
+    k1 = ca * mxl + cb * myl
+    k2 = cc * myl + cb * mxl
+    return k0, k1, k2, -0.5 * ca, -cb, -0.5 * cc
+
+
+def _phi_blend(d, xr, yr, slot_valid, power=None, origin=None):
     """Per-φ-block forward math: d (R,16) instance lanes, xr/yr (1,PIX),
     slot_valid (R,1).  Returns (alpha_v, one_m, g_exp) each (R,PIX),
     where one_m = 1 - alpha_v (a transmittance product factor).
@@ -235,15 +290,20 @@ def _phi_blend(d, xr, yr, slot_valid, power=None):
     By default the degree-2 power polynomial runs on the VPU as broadcast
     FMAs of (R,1) coefficient columns against (1,PIX) coordinate rows —
     an MXU contraction of depth 16 would waste 112/128 of the systolic
-    array.  ``power`` overrides with a precomputed plane (the
-    GSCREAM_MXU_POWER=1 path, :func:`_power_planes`): the kernels are
-    VPU-bound (BASELINE.md memo), so moving the 5 FMAs/pixel onto the
-    otherwise idle MXU trades cheap MXU time for scarce VPU time.
+    array.  In raw mode ``origin`` supplies the tile origin and the
+    coefficient columns are derived in-kernel (:func:`_raw_coeffs`).
+    ``power`` overrides with a precomputed plane (the GSCREAM_MXU_POWER=1
+    path, :func:`_power_planes`): the kernels are VPU-bound (BASELINE.md
+    memo), so moving the 5 FMAs/pixel onto the otherwise idle MXU trades
+    cheap MXU time for scarce VPU time.
     """
     if power is None:
-        power = (d[:, 6:7]
-                 + (d[:, 7:8] + d[:, 9:10] * xr + d[:, 10:11] * yr) * xr
-                 + (d[:, 8:9] + d[:, 11:12] * yr) * yr)
+        if origin is not None:
+            k0, k1, k2, k3, k4, k5 = _raw_coeffs(d, origin)
+        else:
+            k0, k1, k2 = d[:, 6:7], d[:, 7:8], d[:, 8:9]
+            k3, k4, k5 = d[:, 9:10], d[:, 10:11], d[:, 11:12]
+        power = k0 + (k1 + k3 * xr + k4 * yr) * xr + (k2 + k5 * yr) * yr
     g_exp = jnp.exp(power)
     alpha = jnp.minimum(d[:, 0:1] * g_exp, 0.99)
     valid = slot_valid & (power <= 0.0) & (alpha >= ALPHA_MIN)
@@ -278,8 +338,8 @@ def _power_planes(dchunk, basis6):
 # ---------------------------------------------------------------------------
 # forward kernel
 
-def _fwd_kernel(tile_start, tile_count, inst_hbm, out_ref, buf, sem,
-                carry, tmin, av_s):
+def _fwd_kernel(grid_x, tile_base, tile_start, tile_count, inst_hbm,
+                out_ref, buf, sem, carry, tmin, av_s):
     """Packed-row forward: one chunk = RPC_F rows × 8 φ-lane-groups.
 
     The global blend order is row-major, φ-minor (instance = 8·row + φ),
@@ -287,10 +347,21 @@ def _fwd_kernel(tile_start, tile_count, inst_hbm, out_ref, buf, sem,
     lower-triangular MXU scan over the per-row log sums plus a running
     φ partial — 8× fewer scan MACs per instance than scanning unpacked
     rows, at identical (128-wide) systolic occupancy.
+
+    ``tile_base`` (scalar prefetch, (1,)) is the global tile id of grid
+    step 0 — nonzero when a band kernel runs a local tile window
+    (parallel/shard.py) — so raw mode resolves each tile's pixel origin
+    from its GLOBAL id.
     """
     t = pl.program_id(0)
     start = tile_start[t]
     count = tile_count[t]
+    if KERNEL_COEFF:
+        gt = tile_base[0] + t
+        origin = ((gt % grid_x * TILE_W).astype(jnp.float32),
+                  (gt // grid_x * TILE_H).astype(jnp.float32))
+    else:
+        origin = None
     r0 = start // 8
     # rows spanning [start, start+count) — boundary instances of the
     # neighbouring tiles ride along masked-out (slot_valid)
@@ -338,7 +409,7 @@ def _fwd_kernel(tile_start, tile_count, inst_hbm, out_ref, buf, sem,
             alpha_v, one_m, _ = _phi_blend(
                 d, xr, yr, slot_valid,
                 power=(pw[phi * RPC_F:(phi + 1) * RPC_F]
-                       if MXU_POWER else None))
+                       if MXU_POWER else None), origin=origin)
             av_s[phi] = alpha_v
             rowprod = rowprod * one_m
         S = jnp.log(rowprod)
@@ -393,9 +464,9 @@ def _fwd_kernel(tile_start, tile_count, inst_hbm, out_ref, buf, sem,
 
 
 def _run_forward(inst_packed, tile_start, tile_count, n_tiles: int,
-                 interpret: bool):
+                 interpret: bool, grid_x: int, tile_base=None):
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(n_tiles,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec((None, 8, PIX), lambda t, *_: (t, 0, 0),
@@ -408,20 +479,22 @@ def _run_forward(inst_packed, tile_start, tile_count, n_tiles: int,
             pltpu.VMEM((8, RPC_F, PIX), jnp.float32),
         ],
     )
+    if tile_base is None:
+        tile_base = jnp.zeros((1,), jnp.int32)
     return pl.pallas_call(
-        _fwd_kernel,
+        functools.partial(_fwd_kernel, grid_x),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_tiles, 8, PIX), jnp.float32),
         interpret=interpret,
-    )(tile_start, tile_count, inst_packed)
+    )(tile_base, tile_start, tile_count, inst_packed)
 
 
 # ---------------------------------------------------------------------------
 # backward kernel
 
-def _bwd_kernel(tile_start, tile_count, inst_hbm, pix_ref, grad_hbm,
-                buf, gbuf, sem, gsem, carry, prefr,
-                av_s, ge_s, ga_s):
+def _bwd_kernel(grid_x, tile_base, tile_start, tile_count, inst_hbm,
+                pix_ref, grad_hbm, buf, gbuf, sem, gsem, ghsem, hbuf,
+                carry, prefr, av_s, ge_s, ga_s):
     """pix_ref rows: [g_r, g_g, g_b, g_depth, g_unc, Total, gTT, 0].
 
     Packed-row backward in three φ passes per chunk (RPC_B rows × 8 φ):
@@ -430,13 +503,20 @@ def _bwd_kernel(tile_start, tile_count, inst_hbm, pix_ref, grad_hbm,
     moment matmuls.  Pass 3 re-reads the stored α/γ planes and carries
     the transmittance product itself (one extra exp per chunk) — the γ
     recompute (5 broadcast FMAs per φ) and a stored p_exc plane both
-    cost more than they save.  Grad output stays one 128-lane row per *instance*
-    (segment-reducer layout): each φ's (RPC,16) block is interleaved into
-    the chunk's fat rows in VMEM, then one DMA writes rows
-    [8·row0, 8·row0+CHUNK) — starting exactly at ``start`` for the first
-    chunk (8 static head-skip cases), so a tile never touches its
-    predecessor's instances; tail overruns are rewritten by later tiles
-    (the grid is sequential in slot order) and the sentinel pass.
+    cost more than they save.  Grad output uses the PACKED layout — 8
+    instances per 128-lane row, 16 lanes each, mirroring the input
+    (r4: the old one-row-per-instance layout wrote 112 zero lanes per
+    row, 8× the HBM write traffic): each φ's (RPC,16) block lands in
+    lane group 16φ of the chunk's rows in VMEM, then one DMA writes rows
+    [row0, row0+RPC_B).  The head row is SHARED with the predecessor
+    tile's tail when s8 = start%8 > 0: its s8 leading lane-groups are
+    already written and must survive, but Mosaic DMAs cannot slice the
+    lane dimension below 128 — so the kernel read-merge-writes: it
+    prefetches the predecessor's head row at kernel start (the grid is
+    sequential in slot order, so that write has completed) and blends it
+    into lanes < 16·s8 before the first chunk's full-row DMA.  Tail
+    overruns carry masked zeros and are rewritten by later tiles and the
+    sentinel pass.
     """
     t = pl.program_id(0)
     start = tile_start[t]
@@ -445,6 +525,12 @@ def _bwd_kernel(tile_start, tile_count, inst_hbm, pix_ref, grad_hbm,
     s8 = start - r0 * 8
     total_rows = (start + count + 7) // 8 - r0
     nchunks = pl.cdiv(total_rows, RPC_B)
+    if KERNEL_COEFF:
+        gt = tile_base[0] + t
+        origin = ((gt % grid_x * TILE_W).astype(jnp.float32),
+                  (gt // grid_x * TILE_H).astype(jnp.float32))
+    else:
+        origin = None
 
     basis = _pixel_basis16()
     basis6 = _pixel_basis6() if MXU_POWER else None
@@ -454,12 +540,6 @@ def _bwd_kernel(tile_start, tile_count, inst_hbm, pix_ref, grad_hbm,
 
     carry[...] = jnp.zeros((1, PIX), jnp.float32)
     prefr[...] = jnp.zeros((1, PIX), jnp.float32)
-    # grad lanes 16.. are never written by the compute path — zero them
-    # once (scratch persists across the sequential grid)
-    @pl.when(t == 0)
-    def _():
-        gbuf[0] = jnp.zeros((CHUNK_B, LANES), jnp.float32)
-        gbuf[1] = jnp.zeros((CHUNK_B, LANES), jnp.float32)
 
     total = pix_ref[5:6, :]
     gtt = pix_ref[6:7, :]
@@ -477,16 +557,14 @@ def _bwd_kernel(tile_start, tile_count, inst_hbm, pix_ref, grad_hbm,
     def gdma_full(slot, k):
         return pltpu.make_async_copy(
             gbuf.at[slot],
-            grad_hbm.at[pl.ds((r0 + k * RPC_B) * 8, CHUNK_B), :],
+            grad_hbm.at[pl.ds(r0 + k * RPC_B, RPC_B), :],
             gsem.at[slot])
 
-    def gdma_head(slot, b):
-        # first chunk: skip the b = start%8 leading instances (they are
-        # the predecessor tile's tail — already written, must survive)
+    def head_read():
+        # the predecessor tile's (completed) head-row write, prefetched
+        # for the lane merge below
         return pltpu.make_async_copy(
-            gbuf.at[slot].at[pl.ds(b, CHUNK_B - b), :],
-            grad_hbm.at[pl.ds(r0 * 8 + b, CHUNK_B - b), :],
-            gsem.at[slot])
+            grad_hbm.at[pl.ds(r0, 1), :], hbuf, ghsem)
 
     def start_gdma(slot, k):
         @pl.when(k > 0)
@@ -494,25 +572,23 @@ def _bwd_kernel(tile_start, tile_count, inst_hbm, pix_ref, grad_hbm,
             gdma_full(slot, k).start()
         @pl.when(k == 0)
         def _():
-            for b in range(8):
-                @pl.when(s8 == b)
-                def _():
-                    gdma_head(slot, b).start()
+            @pl.when(s8 > 0)
+            def _():
+                head_read().wait()
+                lane = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
+                gbuf[slot, 0:1, :] = jnp.where(lane < 16 * s8, hbuf[...],
+                                               gbuf[slot, 0:1, :])
+            gdma_full(slot, 0).start()
 
     def wait_gdma(slot, k):
-        @pl.when(k > 0)
-        def _():
-            gdma_full(slot, k).wait()
-        @pl.when(k == 0)
-        def _():
-            for b in range(8):
-                @pl.when(s8 == b)
-                def _():
-                    gdma_head(slot, b).wait()
+        gdma_full(slot, k).wait()
 
     @pl.when(nchunks > 0)
     def _():
         get_dma(0, 0).start()
+    @pl.when(s8 > 0)
+    def _():
+        head_read().start()
 
     def gamma_of(d):
         # γ_ip = Σ_c chan_ic·g_cp — VPU broadcast FMAs (K=5 on the MXU
@@ -543,7 +619,7 @@ def _bwd_kernel(tile_start, tile_count, inst_hbm, pix_ref, grad_hbm,
             alpha_v, one_m, g_exp = _phi_blend(
                 d, xr, yr, slot_valid,
                 power=(pw[phi * RPC_B:(phi + 1) * RPC_B]
-                       if MXU_POWER else None))
+                       if MXU_POWER else None), origin=origin)
             av_s[phi] = alpha_v
             ge_s[phi] = g_exp
             rowprod = rowprod * one_m
@@ -577,7 +653,7 @@ def _bwd_kernel(tile_start, tile_count, inst_hbm, pix_ref, grad_hbm,
             dfeat = jax.lax.dot_general(
                 w, gstack, (((1,), (1,)), ((), ())),
                 precision=_HIGHEST, preferred_element_type=jnp.float32)
-            gbuf[cur, pl.Slice(phi, RPC_B, 8), 0:ILANES] = dfeat
+            gbuf[cur, :, 16 * phi:16 * phi + ILANES] = dfeat
             p_exc = p_inc
 
         runm = jax.lax.dot_general(
@@ -594,6 +670,12 @@ def _bwd_kernel(tile_start, tile_count, inst_hbm, pix_ref, grad_hbm,
             p_inc = p_exc * (1.0 - alpha_v)
             applied = (alpha_v > 0.0) & (p_inc >= T_STOP)
             d = buf[cur][:, 16 * phi:16 * phi + 16]
+            if origin is not None:
+                sx = origin[0] - jnp.round(d[:, 6:7])
+                sy = origin[1] - jnp.round(d[:, 7:8])
+            else:
+                sx = d[:, 12:13]
+                sy = d[:, 13:14]
             w = jnp.where(applied, alpha_v * p_exc, 0.0)
             m = gamma * w
             pref = runm + m                    # inclusive global prefix
@@ -607,9 +689,8 @@ def _bwd_kernel(tile_start, tile_count, inst_hbm, pix_ref, grad_hbm,
                 x_mat, basis, (((1,), (1,)), ((), ())),
                 precision=_HIGHEST, preferred_element_type=jnp.float32)
             # shift tile-local moments into the gaussian's rounded-center
-            # frame (sx/sy ride the instance lanes) — reduction-ready rows
-            sx = d[:, 12:13]
-            sy = d[:, 13:14]
+            # frame (sx/sy from the instance lanes, or derived in raw
+            # mode above) — reduction-ready rows
             m0 = mom[:, 6:7]
             mx = mom[:, 7:8]
             my = mom[:, 8:9]
@@ -619,8 +700,8 @@ def _bwd_kernel(tile_start, tile_count, inst_hbm, pix_ref, grad_hbm,
                     + (2.0 * sx * mx + sx * sx * m0) * _onehot16(9)
                     + (sx * my + sy * mx + sx * sy * m0) * _onehot16(10)
                     + (2.0 * sy * my + sy * sy * m0) * _onehot16(11))
-            gbuf[cur, pl.Slice(phi, RPC_B, 8), 0:ILANES] = (
-                gbuf[cur, pl.Slice(phi, RPC_B, 8), 0:ILANES] + conv)
+            gbuf[cur, :, 16 * phi:16 * phi + ILANES] = (
+                gbuf[cur, :, 16 * phi:16 * phi + ILANES] + conv)
             runm = runm + m
             p_exc = p_inc
 
@@ -656,11 +737,11 @@ def _bwd_kernel(tile_start, tile_count, inst_hbm, pix_ref, grad_hbm,
     # nchunks >= 1, so no head-skip is ever needed here)
     @pl.when(kf < nchunks)
     def _():
-        gbuf[0] = jnp.zeros((CHUNK_B, LANES), jnp.float32)
+        gbuf[0] = jnp.zeros((RPC_B, LANES), jnp.float32)
         def zbody(k, _):
             dz = pltpu.make_async_copy(
                 gbuf.at[0],
-                grad_hbm.at[pl.ds((r0 + k * RPC_B) * 8, CHUNK_B), :],
+                grad_hbm.at[pl.ds(r0 + k * RPC_B, RPC_B), :],
                 gsem.at[0])
             dz.start()
             dz.wait()
@@ -669,22 +750,27 @@ def _bwd_kernel(tile_start, tile_count, inst_hbm, pix_ref, grad_hbm,
 
     # sentinel-tail slots (instances past the last real tile) are owned by
     # no tile; zero them so garbage HBM can never reach the segment
-    # reduction's indicator matmul (0 * Inf = NaN there).  Double-buffered
-    # zero DMAs — pure HBM write bandwidth.
+    # reduction's indicator matmul (0 * Inf = NaN there).  Starts at the
+    # first all-sentinel row — the preceding partial row's sentinel lane
+    # groups were zeroed by the last tile's masked compute (or a pad
+    # tile's).  The floor division leaves < RPC_B rows at the very top
+    # unwritten — inside the PAD_SLOTS region past ``capacity``, which the
+    # consumer never reads (the CHUNK_B <= PAD_SLOTS assert guards this).
+    # Double-buffered zero DMAs — pure HBM write bandwidth.
     @pl.when(t == pl.num_programs(0) - 1)
     def _():
         cap_rows = grad_hbm.shape[0]
-        end = start + count
-        gbuf[0] = jnp.zeros((CHUNK_B, LANES), jnp.float32)
-        gbuf[1] = jnp.zeros((CHUNK_B, LANES), jnp.float32)
+        ze = (start + count + 7) // 8
+        gbuf[0] = jnp.zeros((RPC_B, LANES), jnp.float32)
+        gbuf[1] = jnp.zeros((RPC_B, LANES), jnp.float32)
 
         def zdma(s, j):
             return pltpu.make_async_copy(
                 gbuf.at[s],
-                grad_hbm.at[pl.ds(end + j * CHUNK_B, CHUNK_B), :],
+                grad_hbm.at[pl.ds(ze + j * RPC_B, RPC_B), :],
                 gsem.at[s])
 
-        nz = (cap_rows - end) // CHUNK_B
+        nz = (cap_rows - ze) // RPC_B
         def zt(j, _):
             s = jax.lax.rem(j, 2)
             @pl.when(j >= 2)
@@ -702,10 +788,11 @@ def _bwd_kernel(tile_start, tile_count, inst_hbm, pix_ref, grad_hbm,
 
 
 def _run_backward(inst_packed, pix_tiles, tile_start, tile_count,
-                  n_tiles: int, interpret: bool):
-    cap_pad = inst_packed.shape[0] * 8       # instances incl. PAD_SLOTS
+                  n_tiles: int, interpret: bool, grid_x: int,
+                  tile_base=None):
+    rows = inst_packed.shape[0]              # packed rows incl. PAD_SLOTS
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(n_tiles,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
@@ -715,9 +802,11 @@ def _run_backward(inst_packed, pix_tiles, tile_start, tile_count,
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
             pltpu.VMEM((2, RPC_B, LANES), jnp.float32),
-            pltpu.VMEM((2, CHUNK_B, LANES), jnp.float32),
+            pltpu.VMEM((2, RPC_B, LANES), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.VMEM((1, LANES), jnp.float32),
             pltpu.VMEM((1, PIX), jnp.float32),
             pltpu.VMEM((1, PIX), jnp.float32),
             pltpu.VMEM((8, RPC_B, PIX), jnp.float32),
@@ -725,13 +814,15 @@ def _run_backward(inst_packed, pix_tiles, tile_start, tile_count,
             pltpu.VMEM((8, RPC_B, PIX), jnp.float32),
         ],
     )
+    if tile_base is None:
+        tile_base = jnp.zeros((1,), jnp.int32)
     return pl.pallas_call(
-        _bwd_kernel,
+        functools.partial(_bwd_kernel, grid_x),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((cap_pad, LANES), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((rows, LANES), jnp.float32),
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
-    )(tile_start, tile_count, inst_packed, pix_tiles)
+    )(tile_base, tile_start, tile_count, inst_packed, pix_tiles)
 
 
 # ---------------------------------------------------------------------------
@@ -921,7 +1012,7 @@ def _raster_fwd(mean2d, conic, opacity, colors, depth, unc,
     inst = pack_instance_data(mean2d, conic, opacity, colors, depth, unc,
                               binning, gx)
     tiles = _run_forward(inst, binning.tile_start, binning.tile_count,
-                         n_tiles, interpret)
+                         n_tiles, interpret, gx)
     img = tiles_to_image(tiles, width, height)     # (8,H,W)
     raw_c = img[1:4]
     d_img = img[4]
@@ -956,11 +1047,12 @@ def _raster_bwd(width, height, interpret, res, g: TiledOut):
     pix_tiles = image_to_tiles(pix, width, height)
 
     raw = _run_backward(inst, pix_tiles, binning.tile_start,
-                        binning.tile_count, n_tiles, interpret)
+                        binning.tile_count, n_tiles, interpret, gx)
     cap = binning.gauss_id.shape[0]
     # rows leave the kernel already centered (sx/sy shift applied
-    # in-kernel) and the sentinel tail zero-filled — reduction-ready
-    conv = raw[:cap, :ILANES]
+    # in-kernel) and the sentinel tail zero-filled — reduction-ready.
+    # Grad rows are packed 8 instances/row; the reshape is free.
+    conv = raw.reshape(-1, ILANES)[:cap]
 
     if os.environ.get("GSCREAM_SCATTER_REDUCE"):
         # fallback: XLA scatter-add (~150 ms at 2M instances)

@@ -74,15 +74,29 @@ def _band_slices(binning, gx, rows_per_band, band):
 
 def _band_fwd(mean2d, conic, opacity, colors, depth, unc, binning, bg,
               width, height, n_bands, interpret):
+    return _band_fwd_at(jax.lax.axis_index(TILE_AXIS), mean2d, conic,
+                        opacity, colors, depth, unc, binning, bg, width,
+                        height, n_bands, interpret)
+
+
+def _band_fwd_at(band, mean2d, conic, opacity, colors, depth, unc, binning,
+                 bg, width, height, n_bands, interpret):
+    """Band forward with an EXPLICIT band index — lets a single chip
+    compile and run the true Mosaic band kernels (local tile windows,
+    tile_base offsets, boundary head-skip DMA) outside shard_map; the
+    hardware check scripts/band_hw_check.py iterates it over all bands
+    and asserts equality with the full-frame path (VERDICT r3 item 5)."""
     gx, gy, gy_pad, rows_per_band = _band_geometry(width, height, n_bands)
-    band = jax.lax.axis_index(TILE_AXIS)
-    # the packed rows carry tile-local polynomial coefficients computed
-    # from each instance's *global* tile id, so band kernels need no
-    # tile-offset plumbing — local tile_start/count slices are enough
+    # legacy packing carries tile-local polynomial coefficients computed
+    # from each instance's *global* tile id; raw mode derives them
+    # in-kernel from the global tile id = tile_base + program_id, so the
+    # band's first global tile rides in as the scalar-prefetch tile_base
     inst = rt.pack_instance_data(mean2d, conic, opacity, colors, depth,
                                  unc, binning, gx)
     ts, tc, n_local = _band_slices(binning, gx, rows_per_band, band)
-    tiles = rt._run_forward(inst, ts, tc, n_local, interpret)  # (L,8,PIX)
+    tile_base = (band * rows_per_band * gx).astype(jnp.int32)[None]
+    tiles = rt._run_forward(inst, ts, tc, n_local, interpret, gx,
+                            tile_base=tile_base)  # (L,8,PIX)
 
     # local band tiles → band image (no cross-band collective; the width
     # is cropped).  Rows past ``height`` on the last band are zeroed: the
@@ -106,11 +120,16 @@ def _band_fwd(mean2d, conic, opacity, colors, depth, unc, binning, bg,
 
 
 def _band_bwd(width, height, n_bands, interpret, res, g: TiledOut):
+    return _band_bwd_at(jax.lax.axis_index(TILE_AXIS), width, height,
+                        n_bands, interpret, res, g)
+
+
+def _band_bwd_at(band, width, height, n_bands, interpret, res, g: TiledOut):
+    """Band backward with an explicit band index (see _band_fwd_at)."""
     (inst, binning, bg, raw_c, d_img, u_img, t_img,
      mean2d, conic, opacity) = res
     n_gauss = mean2d.shape[0]
     gx, gy, gy_pad, rows_per_band = _band_geometry(width, height, n_bands)
-    band = jax.lax.axis_index(TILE_AXIS)
 
     # the forward output is band-local, so the incoming cotangent already
     # is too — no collective here at all
@@ -131,15 +150,18 @@ def _band_bwd(width, height, n_bands, interpret, res, g: TiledOut):
         rows_per_band * gx, 8, PIX)
 
     ts, tc, n_local = _band_slices(binning, gx, rows_per_band, band)
-    raw = rt._run_backward(inst, pix_tiles, ts, tc, n_local, interpret)
+    tile_base = (band * rows_per_band * gx).astype(jnp.int32)[None]
+    raw = rt._run_backward(inst, pix_tiles, ts, tc, n_local, interpret,
+                           gx, tile_base=tile_base)
     cap = binning.gauss_id.shape[0]
     # the kernel centers moments in-kernel and zero-fills past its last
     # local tile, but slots of *earlier* bands' tiles on this device are
     # uninitialized — mask everything outside this band's slot range
+    # (grad rows are packed 8 instances/row; the reshape recovers them)
     n_tiles_real = gx * gy
     slot_band = binning.tile_id // (rows_per_band * gx)
     valid = (binning.tile_id < n_tiles_real) & (slot_band == band)
-    conv = jnp.where(valid[:, None], raw[:cap, :ILANES], 0.0)
+    conv = jnp.where(valid[:, None], raw.reshape(-1, ILANES)[:cap], 0.0)
 
     # band-masked rows reduce to zero, so the Pallas segment reducer is
     # directly applicable per band (partials psum'd by the shard_map

@@ -19,13 +19,15 @@ from gscream_tpu.ops.rasterize_tiled import (
 
 
 def timeit(f, *args, iters=5, label=""):
+    from gscream_tpu.utils.trace import maybe_trace
     out = f(*args)
     jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = f(*args)
-    jax.block_until_ready(out)
-    dt = (time.perf_counter() - t0) / iters
+    with maybe_trace(label.split()[0] if label else "timeit"):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = f(*args)
+        jax.block_until_ready(out)
+        dt = (time.perf_counter() - t0) / iters
     print(f"{label:32s} {dt*1e3:9.2f} ms")
     return out
 
@@ -84,7 +86,7 @@ def main():
 
     n_tiles = gx * (-(-height // TILE_H))
     fwd_fn = jax.jit(lambda i, ts, tc: _run_forward(i, ts, tc, n_tiles,
-                                                    interpret))
+                                                    interpret, gx))
     timeit(fwd_fn, inst, binning.tile_start, binning.tile_count,
            label="pallas forward kernel")
 
@@ -166,13 +168,13 @@ def bwd_parts():
     pt_fn = jax.jit(lambda p: image_to_tiles(p, width, height))
     pix_tiles = timeit(pt_fn, pix, label="image_to_tiles")
     bk_fn = jax.jit(lambda i, p, ts, tc: _run_backward(
-        i, p, ts, tc, n_tiles, interpret))
+        i, p, ts, tc, n_tiles, interpret, gx))
     raw = timeit(bk_fn, inst, pix_tiles, binning.tile_start,
                  binning.tile_count, label="pallas backward kernel")
     n_g = splats.mean2d.shape[0]
     cap = binning.gauss_id.shape[0]
     seg_fn = jax.jit(lambda r, b: segment_reduce_grads(
-        r[:cap, :ILANES], b, n_g, interpret))
+        r.reshape(-1, ILANES)[:cap], b, n_g, interpret))
     timeit(seg_fn, raw, binning, label="segment reduce")
 
 

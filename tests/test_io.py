@@ -46,6 +46,44 @@ def test_anchor_ply_roundtrip(tmp_path, rng):
                                    rtol=1e-6)
 
 
+def test_load_trained_scaffold(tmp_path, rng):
+    """Model-directory restore (reference Scene load_iteration,
+    scene/__init__.py:141-149): cfg.json + point_cloud/iteration_<N> →
+    a ready ScaffoldState, used by render.py and bench.py --ply."""
+    import dataclasses
+    import json
+
+    from gscream_tpu.config import ModelConfig, OptimConfig, RunConfig
+    from gscream_tpu.model.io import (load_trained_scaffold, save_anchors_ply,
+                                      save_mlps_npz)
+
+    pts = rng.uniform(-1, 1, (200, 3)).astype(np.float32)
+    st = init_scaffold(jax.random.PRNGKey(0), pts, CFG)
+    st = st._replace(params=st.params._replace(
+        feat=jax.random.normal(jax.random.PRNGKey(1), st.params.feat.shape)))
+    mdir = tmp_path / "model"
+    pdir = mdir / "point_cloud" / "iteration_77"
+    save_anchors_ply(str(pdir / "point_cloud.ply"), st, CFG)
+    save_mlps_npz(str(pdir / "mlp_checkpoints.npz"), st.mlps)
+    run = RunConfig(model=ModelConfig(
+        feat_dim=CFG.feat_dim, n_offsets=CFG.n_offsets,
+        voxel_size=CFG.voxel_size, anchor_capacity=CFG.capacity),
+        optim=OptimConfig())
+    with open(mdir / "cfg.json", "w") as f:
+        json.dump(dataclasses.asdict(run), f)
+
+    back, cfg2, it = load_trained_scaffold(str(mdir))
+    assert it == 77
+    assert cfg2.capacity == CFG.capacity
+    n = int(jnp.sum(st.alive))
+    assert int(jnp.sum(back.alive)) == n
+    for a, b in zip(jax.tree.leaves(st.params), jax.tree.leaves(back.params)):
+        np.testing.assert_allclose(np.asarray(a)[:n], np.asarray(b)[:n],
+                                   rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(st.mlps), jax.tree.leaves(back.mlps)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_mlps_npz_roundtrip(tmp_path):
     """save_mlp_checkpoints equivalent (gaussian_model.py:975-1000):
     decoder MLPs round-trip through the .npz beside the point cloud."""

@@ -10,6 +10,8 @@ from-scratch torch replica of the lpips package's VGG16 forward
 the reference metric is the weight file itself, which
 tools/export_lpips.py produces on any connected machine.
 """
+import os
+
 import numpy as np
 import pytest
 
@@ -119,3 +121,42 @@ def test_lpips_identical_images_zero(weights):
     img = np.random.default_rng(7).uniform(0, 1, (3, 48, 48)) \
         .astype(np.float32)
     assert float(L.lpips(img, img)) == pytest.approx(0.0, abs=1e-9)
+
+
+# ---------------------------------------------------------------------------
+# Real-weights integration gate (VERDICT r3 item 9).  The replica tests
+# above prove the PIPELINE (scaling, pads, pools, taps, normalization,
+# heads, spatial mode) but cannot catch a wrong tap index or scaling
+# constant that a replica built from the same description would share.
+# This test auto-activates on the first machine where the real exported
+# weights exist (tools/export_lpips.py) and, when the lpips pip package
+# is importable too, closes that residual risk against the published
+# implementation itself.
+
+_real = os.environ.get("GSCREAM_LPIPS_WEIGHTS", "")
+_real = _real if _real and os.path.exists(_real) else os.path.expanduser(
+    "~/.cache/gscream/lpips_vgg.npz")
+
+
+@pytest.mark.skipif(not os.path.exists(_real),
+                    reason="real LPIPS weights absent (zero-egress image); "
+                           "run tools/export_lpips.py on a connected machine")
+def test_lpips_real_weights(monkeypatch):
+    monkeypatch.setenv("GSCREAM_LPIPS_WEIGHTS", _real)
+    L._CACHE.clear()
+    rng = np.random.default_rng(3)
+    img0 = rng.uniform(0, 1, (3, 64, 64)).astype(np.float32)
+    img1 = np.clip(img0 + rng.normal(0, 0.2, img0.shape), 0, 1) \
+        .astype(np.float32)
+    ours = float(L.lpips(img0, img1))
+    assert 0.0 < ours < 1.5        # plausible-perturbation range
+    assert float(L.lpips(img0, img0)) == pytest.approx(0.0, abs=1e-9)
+    try:
+        import lpips as lpips_pkg
+    except ImportError:
+        pytest.skip("real weights present but lpips package absent — "
+                    "value-range gate only")
+    net = lpips_pkg.LPIPS(net="vgg", spatial=False)
+    ref = float(net(torch.from_numpy(img0[None]) * 2 - 1,
+                    torch.from_numpy(img1[None]) * 2 - 1).item())
+    assert ours == pytest.approx(ref, rel=1e-3), (ours, ref)

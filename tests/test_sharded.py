@@ -307,8 +307,8 @@ def test_pad_tiles_do_not_wipe_gradients():
 
     def run(ts, tc, n_tiles):
         raw = rt._run_backward(inst, jnp.tile(pix1, (n_tiles, 1, 1)),
-                               ts, tc, n_tiles, True)
-        return np.asarray(raw[:cap, :rt.ILANES])
+                               ts, tc, n_tiles, True, gx)
+        return np.asarray(raw.reshape(-1, rt.ILANES)[:cap])
 
     base = run(binning.tile_start, binning.tile_count, 4)
     assert np.abs(base).sum() > 0
