@@ -103,10 +103,9 @@ def _build_workload(cfg, scaffold, cam, width, height, capacity):
     import jax
     import jax.numpy as jnp
     from gscream_tpu.model.scaffold import decode
-    from gscream_tpu.ops.binning import bin_instances
     from gscream_tpu.ops.projection import preprocess
     from gscream_tpu.ops.rasterize_tiled import (
-        TILE_H, TILE_W, gauss_attrs, rasterize_tiled)
+        TILE_H, TILE_W, build_binning, rasterize_tiled)
 
     interpret = jax.default_backend() != "tpu"
     target = jnp.zeros((height, width, 3))
@@ -120,13 +119,11 @@ def _build_workload(cfg, scaffold, cam, width, height, capacity):
             tile_w=TILE_W, tile_h=TILE_H, active_mask=dec.active,
             opacity=dec.opacity)
         # training configuration: exact (tile, depth) lexicographic sort;
-        # attrs default to post-sort per-instance re-gather (the round-3
-        # hardware A/B winner) unless GSCREAM_ATTRS_PAYLOAD=1
-        binning = bin_instances(
-            splats, capacity, width, height, TILE_W, TILE_H, precise=True,
-            attrs=jax.lax.stop_gradient(gauss_attrs(
-                splats.mean2d, splats.conic, dec.opacity, dec.color,
-                splats.depth, dec.uncertainty)))
+        # GSCREAM_EMIT selects the Pallas expansion pipeline vs the XLA
+        # emission build (both row-tight)
+        binning = build_binning(splats, dec.opacity, dec.color,
+                                dec.uncertainty, capacity, width, height,
+                                interpret=interpret)
         out = rasterize_tiled(splats.mean2d, splats.conic, dec.opacity,
                               dec.color, splats.depth, dec.uncertainty,
                               binning, jnp.zeros(3), width, height,

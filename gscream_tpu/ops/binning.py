@@ -71,6 +71,10 @@ class Binning(NamedTuple):
                              # attributes carried through the sort as payload
                              # operands (streams; a post-sort row gather of
                              # the same data costs ~2x, profiled round 1)
+    cols16: Any = None       # optional (16, capacity) f32 dense sorted
+                             # attribute rows from the Pallas emission
+                             # pipeline (emission.py) — pack_instance_data
+                             # shuffles them straight into packed rows
 
 
 def overflow_demand(binning: Binning) -> jnp.ndarray:

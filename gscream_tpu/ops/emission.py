@@ -1,0 +1,386 @@
+"""Pallas emission pipeline: splats → sorted dense instance columns.
+
+TPU-native replacement for the XLA emission build in
+:mod:`.binning` (which replaces the reference CUB pipeline,
+``cuda_rasterizer/rasterizer_impl.cu:199-347``).  The XLA build is
+semantically right but relayout-bound: its capacity-scale row gathers
+materialize ``(capacity, k)`` tables whose minor dim is lane-padded to
+128, costing ~27 ms at the 1.31 M bench tier (BASELINE.md r4 profile).
+This module produces **bit-identical** Binning results with dense
+column arithmetic plus two small Pallas kernels:
+
+1. **Compaction by stable sort.**  Emitting gaussians (then non-empty
+   tile rows) are compacted to a prefix with one stable ``lax.sort``
+   whose payload operands are the dense attribute columns — sorts
+   stream payloads (round-3 ``scripts/sort_matrix.py``), so this costs
+   ~0.1-0.3 ms where the old path paid scatter+cummax+row-gather.
+   Compaction bounds the expansion windows below: every remaining
+   source emits ≥ 1 output, so K consecutive outputs touch ≤ K+1
+   consecutive sources.
+
+2. **Expansion kernels** (gaussians→rows, rows→instance slots).  Source
+   tables are stored lane-blocked attribute-major ``(n/128, C, 128)``
+   (built by one bandwidth-cheap block transpose); each grid block DMAs
+   a 512-source window (dynamic dim-0 offset — no lane-dim slicing) and
+   expands with an indicator matmul ``Sel @ tableᵀ`` where
+   ``Sel[s, w] = starts[w] <= s < ends[w]`` — exact 0/1 passthrough on
+   the MXU (~0.5 ms total at the bench tier).  Row iso-extents
+   (:func:`~gscream_tpu.ops.binning._row_extents` math) and the
+   tile-local power coefficients are computed in-kernel on expanded
+   columns, so the per-instance attribute table leaves EXPAND2 ready
+   for the (tile, depth) sort and the packed-row shuffle
+   (:mod:`.shuffle`).
+
+The (tile, depth-bits) sort itself, the searchsorted tile ranges, and
+the per-gaussian offset table stay XLA — they were never the cost.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .binning import Binning, row_table_size
+from .projection import Splats
+
+_HIGHEST = jax.lax.Precision.HIGHEST
+
+KE = 256          # outputs per expansion block
+WB = 4            # source window, 128-lane blocks (512 ≥ KE + 128 + 1)
+W = WB * 128
+
+
+def _bits(x):
+    return jax.lax.bitcast_convert_type(x, jnp.int32)
+
+
+# ---------------------------------------------------------------------------
+# lane-blocked tables
+
+def _blocked_table(cols, n_pad: int):
+    """[(n,) f32 columns] → (n_pad//128, C, 128) lane-blocked table.
+
+    Row-pads each column to ``n_pad + W`` with zeros (window overrun
+    slack; starts==ends==0 ⇒ pad sources never selected) and block-
+    transposes — an (8,128)-tile block permutation, pure bandwidth.
+    """
+    c = len(cols)
+    cpad = -c % 8
+    cols = list(cols) + [cols[0]] * cpad           # sublane-pad to 8
+    tab = jnp.stack(
+        [jnp.pad(x.astype(jnp.float32), (0, n_pad + W - x.shape[0]))
+         for x in cols], axis=0)                   # (C8, n_pad+W)
+    c8 = c + cpad
+    return (tab.reshape(c8, (n_pad + W) // 128, 128)
+            .transpose(1, 0, 2))                   # (blocks, C8, 128)
+
+
+def _window(tab_hbm, w0b, buf, sem, c8: int):
+    """DMA a WB-block source window and flatten to (C8, W) in VMEM."""
+    cp = pltpu.make_async_copy(
+        tab_hbm.at[pl.ds(w0b, WB)], buf, sem)
+    cp.start()
+    cp.wait()
+    tw = jnp.zeros((c8, W), jnp.float32)
+    for k in range(WB):
+        tw = jax.lax.dynamic_update_slice(tw, buf[k], (0, 128 * k))
+    return tw
+
+
+def _expand(tw, starts, ends, out0):
+    """Indicator-matmul expansion: (K, C8) rows of the source whose
+    [start, end) range contains each output index ``out0 + i``."""
+    oiota = out0 + jax.lax.broadcasted_iota(jnp.int32, (KE, 1), 0)
+    of = oiota.astype(jnp.float32)
+    sel = ((of >= starts) & (of < ends)).astype(jnp.float32)   # (K, W)
+    ex = jax.lax.dot_general(
+        sel, tw, (((1,), (1,)), ((), ())),
+        precision=_HIGHEST, preferred_element_type=jnp.float32)
+    has_src = jnp.sum(sel, axis=1, keepdims=True) > 0.5
+    return ex, of, has_src
+
+
+def _transpose16(x):
+    """(K, 16) → (16, K) via an exact eye contraction (MXU)."""
+    eye = (jax.lax.broadcasted_iota(jnp.int32, (16, 16), 0)
+           == jax.lax.broadcasted_iota(jnp.int32, (16, 16), 1)
+           ).astype(jnp.float32)
+    return jax.lax.dot_general(
+        eye, x, (((1,), (1,)), ((), ())),
+        precision=_HIGHEST, preferred_element_type=jnp.float32)
+
+
+# ---------------------------------------------------------------------------
+# EXPAND1: compacted gaussians → per-tile-row table (+ iso extents)
+
+def _expand1_kernel(tile_w: int, tile_h: int, w0b_ref, tab_hbm,
+                    out_ref, buf, sem):
+    """Out rows: [gid, ty, txmin, w_row, mx, my, ca, cb, cc, depth,
+    op, r, g, b, unc, 0].  Table rows: [row_offs, row_ends, gid, ymin,
+    rxmin, rxmax, mx, my, ca, cb, cc, t2, depth, op, r, g, b, unc]
+    (+6 pad).  The extents math mirrors binning._row_extents exactly
+    (same expression order ⇒ same f32 rounding).
+    """
+    b = pl.program_id(0)
+    tw = _window(tab_hbm, w0b_ref[b], buf, sem, 24)
+    ex, of, has_src = _expand(tw, tw[0:1, :], tw[1:2, :], b * KE)
+
+    f = jnp.float32
+    local = of - ex[:, 0:1]                        # row index within rect
+    ty = ex[:, 3:4] + local
+    r_xmin, r_xmax = ex[:, 4:5], ex[:, 5:6]
+    mx, my = ex[:, 6:7], ex[:, 7:8]
+    ca, cb, cc = ex[:, 8:9], ex[:, 9:10], ex[:, 10:11]
+    t2 = ex[:, 11:12]
+
+    lo = ty * f(tile_h) - my - f(0.25)
+    hi = lo + f(tile_h - 1) + f(0.5)
+    q = ca * cc - cb * cb
+    qs = jnp.maximum(q, 1e-20)
+    cs = jnp.maximum(cc, 1e-20)
+    a_s = jnp.maximum(ca, 1e-20)
+    hx = jnp.sqrt(jnp.maximum(t2 * cs / qs, 0.0))
+    hy = jnp.sqrt(jnp.maximum(t2 * a_s / qs, 0.0))
+    lc = jnp.maximum(lo, -hy)
+    uc = jnp.minimum(hi, hy)
+
+    def sqrt_d(dy):
+        return jnp.sqrt(jnp.maximum(t2 * ca - q * dy * dy, 0.0))
+
+    dxp_l = (-cb * lc + sqrt_d(lc)) / a_s
+    dxp_u = (-cb * uc + sqrt_d(uc)) / a_s
+    dxm_l = (-cb * lc - sqrt_d(lc)) / a_s
+    dxm_u = (-cb * uc - sqrt_d(uc)) / a_s
+    dyv = -cb * jnp.sqrt(jnp.maximum(t2 / (cs * qs), 0.0))
+    xhi = jnp.maximum(dxp_l, dxp_u)
+    xhi = jnp.where((dyv >= lc - 1.0) & (dyv <= uc + 1.0),
+                    jnp.maximum(xhi, hx), xhi)
+    xlo = jnp.minimum(dxm_l, dxm_u)
+    xlo = jnp.where((-dyv >= lc - 1.0) & (-dyv <= uc + 1.0),
+                    jnp.minimum(xlo, -hx), xlo)
+
+    txmin = jnp.maximum(jnp.floor((mx + xlo - 0.25) / tile_w), r_xmin)
+    txmax = jnp.minimum(jnp.floor((mx + xhi + 0.25) / tile_w) + 1.0,
+                        r_xmax)
+    tight = t2 > 0.0
+    txmin = jnp.where(tight, txmin, r_xmin)
+    txmax = jnp.where(tight, txmax, r_xmax)
+    w_row = jnp.maximum(txmax - txmin, 0.0)
+    w_row = jnp.where(has_src & ((lc <= uc) | ~tight), w_row, 0.0)
+    txmin = jnp.where(has_src, txmin, 0.0)
+
+    cols = jnp.concatenate(
+        [ex[:, 2:3], ty, txmin, w_row, mx, my, ca, cb, cc,
+         ex[:, 12:13], ex[:, 13:14], ex[:, 14:15], ex[:, 15:16],
+         ex[:, 16:17], ex[:, 17:18], jnp.zeros_like(ty)],
+        axis=1) * has_src.astype(jnp.float32)      # (K, 16)
+    out_ref[...] = _transpose16(cols)
+
+
+# ---------------------------------------------------------------------------
+# EXPAND2: compacted rows → per-instance attribute columns
+
+def _expand2_kernel(tile_w: int, tile_h: int, grid_x: int, n_tiles: int,
+                    w0b_ref, tab_hbm, out_ref, buf, sem):
+    """Out rows: [op, r, g, b, depth, unc, k0..k5, sx, sy, tile, gid]
+    — lanes 0..13 are the packed-row instance layout of
+    ``pack_instance_data``; 14/15 carry the sort key source and the
+    gaussian id as exact small-int floats.  Table rows: [ioffs, iends,
+    gid, ty, txmin, mx, my, ca, cb, cc, depth, op, r, g, b, unc].
+    """
+    b = pl.program_id(0)
+    tw = _window(tab_hbm, w0b_ref[b], buf, sem, 16)
+    ex, of, has_src = _expand(tw, tw[0:1, :], tw[1:2, :], b * KE)
+
+    local = of - ex[:, 0:1]
+    ty = ex[:, 3:4]
+    tx = ex[:, 4:5] + local
+    tile = ty * jnp.float32(grid_x) + tx
+    ox = tx * jnp.float32(tile_w)
+    oy = ty * jnp.float32(tile_h)
+    mx, my = ex[:, 5:6], ex[:, 6:7]
+    ca, cb, cc = ex[:, 7:8], ex[:, 8:9], ex[:, 9:10]
+    mxl = mx - ox
+    myl = my - oy
+    k0 = -0.5 * (ca * mxl * mxl + cc * myl * myl) - cb * mxl * myl
+    k1 = ca * mxl + cb * myl
+    k2 = cc * myl + cb * mxl
+    sx = ox - jnp.round(mx)
+    sy = oy - jnp.round(my)
+
+    v = has_src.astype(jnp.float32)
+    cols = jnp.concatenate(
+        [ex[:, 11:12], ex[:, 12:13], ex[:, 13:14], ex[:, 14:15],
+         ex[:, 10:11], ex[:, 15:16],
+         k0, k1, k2, -0.5 * ca, -cb, -0.5 * cc, sx, sy,
+         jnp.zeros_like(k0), ex[:, 2:3]],
+        axis=1) * v                                # (K, 16)
+    # invalid slots sort to the sentinel tile (= n_tiles), stably by slot
+    cols = jax.lax.dynamic_update_slice(
+        cols, jnp.where(has_src, tile, jnp.float32(n_tiles)), (0, 14))
+    out_ref[...] = _transpose16(cols)
+
+
+def _run_expand(kernel, tab, w0b, n_out: int, interpret: bool):
+    nblk = n_out // KE
+    return pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(nblk,),
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+            out_specs=pl.BlockSpec((16, KE), lambda b, w: (0, b)),
+            scratch_shapes=[
+                pltpu.VMEM((WB, tab.shape[1], 128), jnp.float32),
+                pltpu.SemaphoreType.DMA(()),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((16, n_out), jnp.float32),
+        interpret=interpret,
+    )(w0b, tab)
+
+
+def _window_starts(starts, n_out: int):
+    """Per-block source-window block offsets: the (compacted) source
+    covering each block's first output, aligned down to a 128 block."""
+    blk0 = jnp.arange(n_out // KE, dtype=jnp.int32) * KE
+    src = jnp.maximum(
+        jnp.searchsorted(starts, blk0, side="right").astype(jnp.int32) - 1,
+        0)
+    return src // 128
+
+
+# ---------------------------------------------------------------------------
+# pipeline
+
+@functools.partial(jax.jit, static_argnames=(
+    "capacity", "width", "height", "tile_w", "tile_h", "interpret"))
+def bin_instances_pallas(splats: Splats, opacity, colors, unc,
+                         capacity: int, width: int, height: int,
+                         tile_w: int, tile_h: int,
+                         interpret: bool = False):
+    """Row-tight emission via the Pallas expansion pipeline.
+
+    Returns a Binning whose ``cols16`` field carries the (16, capacity)
+    dense sorted attribute table ready for :func:`.shuffle.pack_columns`
+    (``attrs`` stays None).  Bit-identical (coefficients: ulp-identical)
+    to
+    ``bin_instances(..., row_tight=True, sort_mode='lex')`` +
+    ``pack_instance_data`` on every consumed field (the parity suite
+    asserts this).  Requires ``splats.t_iso`` (tight culling on).
+    """
+    if splats.t_iso is None:
+        raise ValueError("bin_instances_pallas requires tight culling "
+                         "(splats.t_iso); use bin_instances instead")
+    grid_x = -(-width // tile_w)
+    n_tiles = grid_x * (-(-height // tile_h))
+    n_gauss = splats.depth.shape[0]
+    row_cap = max(-(-row_table_size(capacity) // KE) * KE, KE)
+    cap = capacity
+    if cap % KE:
+        raise ValueError(f"capacity {cap} not a multiple of {KE}")
+
+    # --- stage A: compact emitting gaussians (stable: original order)
+    rmin_x = splats.rect_min[:, 0]
+    rmin_y = splats.rect_min[:, 1]
+    rmax_x = splats.rect_max[:, 0]
+    rmax_y = splats.rect_max[:, 1]
+    rect_h = jnp.where((splats.radius > 0) & (rmax_x > rmin_x),
+                       rmax_y - rmin_y, 0)
+    gid = jnp.arange(n_gauss, dtype=jnp.int32)
+    drop = (rect_h <= 0).astype(jnp.int32)
+    sA = jax.lax.sort(
+        (drop, gid, rect_h, rmin_y.astype(jnp.float32),
+         rmin_x.astype(jnp.float32), rmax_x.astype(jnp.float32),
+         splats.mean2d[:, 0], splats.mean2d[:, 1],
+         splats.conic[:, 0], splats.conic[:, 1], splats.conic[:, 2],
+         2.0 * splats.t_iso, splats.depth, opacity,
+         colors[:, 0], colors[:, 1], colors[:, 2], unc),
+        num_keys=1, is_stable=True)
+    gid_c, recth_c = sA[1], sA[2]
+    row_ends_c = jnp.cumsum(recth_c, dtype=jnp.int32)
+    row_offs_c = row_ends_c - recth_c
+    total_rows = row_ends_c[-1]
+    # clamp to the static row table (overflow reported via num_rows)
+    ro = jnp.minimum(row_offs_c, row_cap).astype(jnp.float32)
+    re = jnp.minimum(row_ends_c, row_cap).astype(jnp.float32)
+
+    tabA = _blocked_table(
+        [ro, re, gid_c.astype(jnp.float32)] + list(sA[3:]),
+        -(-n_gauss // 128) * 128)
+    w0A = _window_starts(jnp.minimum(row_offs_c, row_cap), row_cap)
+    rows16 = _run_expand(
+        functools.partial(_expand1_kernel, tile_w, tile_h),
+        tabA, w0A, row_cap, interpret)             # (16, row_cap)
+
+    # --- stage C: compact non-empty rows (stable: emission order)
+    w_row = rows16[3]
+    sC = jax.lax.sort(
+        ((w_row <= 0.0).astype(jnp.int32),) + tuple(
+            rows16[i] for i in (0, 1, 2, 4, 5, 6, 7, 8, 9, 10, 11, 12,
+                                13, 14)) + (w_row,),
+        num_keys=1, is_stable=True)
+    w_c = sC[15]
+    iends_i = jnp.cumsum(w_c.astype(jnp.int32), dtype=jnp.int32)
+    ioffs_i = iends_i - w_c.astype(jnp.int32)
+    total_inst = iends_i[-1]
+    io = jnp.minimum(ioffs_i, cap).astype(jnp.float32)
+    ie = jnp.minimum(iends_i, cap).astype(jnp.float32)
+
+    # per-gaussian emission offsets (segment-reduce table): the ioffs at
+    # each gaussian's first row; empty gaussians inherit the next start.
+    # rowrank maps pre-compaction row index -> compacted position (an
+    # empty row's rank = the next kept row's position).
+    kept = (w_row > 0.0).astype(jnp.int32)
+    rowrank = jnp.cumsum(kept) - kept
+    rr_ext = jnp.concatenate(
+        [rowrank, jnp.sum(kept, keepdims=True)]).astype(jnp.int32)
+    io_ext = jnp.concatenate([ioffs_i, total_inst[None]])
+    first_rank = rr_ext[jnp.minimum(row_offs_c, row_cap)]
+    goffs_c = io_ext[jnp.minimum(first_rank, row_cap)]
+    # scatter back to original gaussian order; backfill empties from the
+    # right so ranges stay monotone ([x, x) for non-emitting gaussians)
+    goffs = jnp.full((n_gauss + 1,), jnp.iinfo(jnp.int32).max, jnp.int32)
+    goffs = goffs.at[gid_c].set(goffs_c)
+    goffs = goffs.at[n_gauss].set(jnp.minimum(total_inst, cap))
+    goffs = jnp.flip(jax.lax.cummin(jnp.flip(goffs)))
+    goffs = jnp.minimum(goffs, cap)
+
+    # rows: ioffs iends gid ty txmin mx my ca cb cc depth op r g b unc
+    tabC = _blocked_table(
+        [io, ie, sC[1], sC[2], sC[3], sC[4], sC[5], sC[6], sC[7],
+         sC[8], sC[9], sC[10], sC[11], sC[12], sC[13], sC[14]],
+        -(-row_cap // 128) * 128)
+    w0C = _window_starts(jnp.minimum(ioffs_i, cap), cap)
+    inst16 = _run_expand(
+        functools.partial(_expand2_kernel, tile_w, tile_h, grid_x,
+                          n_tiles),
+        tabC, w0C, cap, interpret)                 # (16, cap)
+
+    # --- stage E: the (tile, depth) sort over dense columns
+    slot = jnp.arange(cap, dtype=jnp.int32)
+    tile_i = inst16[14].astype(jnp.int32)
+    valid = slot < jnp.minimum(total_inst, cap)
+    depth_bits = jnp.where(valid, _bits(inst16[4]), jnp.int32(2 ** 30))
+    sE = jax.lax.sort(
+        (tile_i, depth_bits, inst16[15].astype(jnp.int32), slot)
+        + tuple(inst16[i] for i in range(14)),
+        num_keys=2, is_stable=True)
+    sorted_tile, sorted_gauss, emit_slot = sE[0], sE[2], sE[3]
+    cols16 = jnp.concatenate(
+        [x[None] for x in sE[4:18]]
+        + [jnp.zeros((2, cap), jnp.float32)], axis=0)   # (16, cap)
+
+    tids = jnp.arange(n_tiles, dtype=jnp.int32)
+    tile_start = jnp.searchsorted(sorted_tile, tids,
+                                  side="left").astype(jnp.int32)
+    tile_end = jnp.searchsorted(sorted_tile, tids,
+                                side="right").astype(jnp.int32)
+    return Binning(
+        gauss_id=sorted_gauss, tile_id=sorted_tile,
+        tile_start=tile_start, tile_count=tile_end - tile_start,
+        num_instances=total_inst, emit_slot=emit_slot,
+        offsets=goffs, num_rows=total_rows, attrs=None, cols16=cols16)

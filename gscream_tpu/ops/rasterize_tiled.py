@@ -84,6 +84,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .binning import Binning, bin_instances, overflow_demand
 from .projection import ALPHA_MIN, T_STOP, Splats, preprocess
+from .shuffle import BLK as _SHUF_BLK, PHI as _SHUF_PHI, unpack_columns
 
 # ---------------------------------------------------------------------------
 # configuration
@@ -160,6 +161,13 @@ def pack_instance_data(mean2d, conic, opacity, colors, depth, unc,
     capacity-scale 16-column lane interleave, ~6 ms at the bench tier).
     Rows are 128 lanes (Mosaic DMA alignment), 8 instances per row.
     """
+    if binning.cols16 is not None:
+        # Pallas emission pipeline: dense sorted attribute rows → packed
+        # rows via the MXU shuffle kernel (no lane-padded intermediates)
+        from .shuffle import pack_columns
+        return pack_columns(
+            jnp.pad(binning.cols16, ((0, 0), (0, PAD_SLOTS))),
+            interpret=_interpret_default())
     if binning.attrs is not None:
         a = binning.attrs                          # (cap, 11) pre-sorted
     else:
@@ -870,6 +878,87 @@ SEG_GB = 256       # gaussians per reduction block
 SEG_RCAP = 256     # packed rows (8 instances each) per inner step
 
 
+SEG_IC = 2048      # instances (lanes) per column-major reducer step
+
+
+def _segreduce_cm_kernel(off_ref, cols_hbm, out_ref, buf, sem):
+    """Column-major segment reduction: ONE indicator matmul per chunk.
+
+    cols_hbm: (16, n_lanes) — dense attribute rows in emission order
+    (grad lanes 1..11 as rows 1..11).  off_ref: this block's gaussian
+    offsets.  S[g, i] = 1 iff instance i belongs to gaussian g, so
+    ``S @ colsᵀ`` sums every gaussian's contiguous emission run — 8×
+    fewer MACs than the packed-row variant's per-φ matmuls (4096 vs
+    32768 MACs per instance at SEG_GB=256).
+    """
+    start_i = off_ref[0, 0]
+    end_i = off_ref[SEG_GB, 0]
+    c0 = (start_i // 128) * 128                    # lane-aligned window
+    nchunks = pl.cdiv(end_i - c0, SEG_IC)
+
+    out_ref[...] = jnp.zeros((SEG_GB, 16), jnp.float32)
+    lo = off_ref[0:SEG_GB, :]                      # (SEG_GB,1) [lo, hi)
+    hi = off_ref[1:SEG_GB + 1, :]
+    iiota = jax.lax.broadcasted_iota(jnp.int32, (1, SEG_IC), 1)
+
+    def body(j, _):
+        cp = pltpu.make_async_copy(
+            cols_hbm.at[:, pl.ds(c0 + j * SEG_IC, SEG_IC)], buf, sem)
+        cp.start()
+        cp.wait()
+        inst = c0 + j * SEG_IC + iiota             # (1, SEG_IC)
+        s = ((inst >= lo) & (inst < hi)).astype(jnp.float32)
+        out_ref[...] += jax.lax.dot_general(
+            s, buf[...], (((1,), (1,)), ((), ())),
+            precision=_HIGHEST, preferred_element_type=jnp.float32)
+        return 0
+
+    jax.lax.fori_loop(0, nchunks, body, 0)
+
+
+def segment_reduce_cm(ge_cols, offsets, n_gauss: int, interpret: bool):
+    """(16, cap) emission-order dense grad rows → (N, 16) per-gaussian sums.
+
+    ``ge_cols`` rows follow the conv-lane layout (1..5 channel grads,
+    6..11 centered moments); ``offsets`` is the (N+1,) emission-range
+    table.  Rows past the true instance count must be zero (the backward
+    kernel's sentinel fill guarantees this).
+    """
+    cap = ge_cols.shape[1]
+    # chunk overrun slack: c0 + nchunks*SEG_IC can pass cap by < SEG_IC+128
+    cols = jnp.pad(ge_cols, ((0, 0), (0, SEG_IC + 128)))
+
+    n_pad = -(-n_gauss // SEG_GB) * SEG_GB
+    offs = jnp.pad(offsets, (0, n_pad + 1 - offsets.shape[0]), mode="edge")
+    offs = jnp.minimum(offs, cap)
+    idx = (jnp.arange(n_pad // SEG_GB)[:, None] * SEG_GB
+           + jnp.arange(SEG_GB + 1)[None, :])
+    off_blocks = offs[idx][..., None]              # (n_blocks, SEG_GB+1, 1)
+
+    n_blocks = n_pad // SEG_GB
+    out = pl.pallas_call(
+        _segreduce_cm_kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=0,
+            grid=(n_blocks,),
+            in_specs=[
+                pl.BlockSpec((None, SEG_GB + 1, 1), lambda b: (b, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pl.ANY),
+            ],
+            out_specs=pl.BlockSpec((None, SEG_GB, 16), lambda b: (b, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=[
+                pltpu.VMEM((16, SEG_IC), jnp.float32),
+                pltpu.SemaphoreType.DMA(()),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((n_blocks, SEG_GB, 16), jnp.float32),
+        interpret=interpret,
+    )(off_blocks, cols)
+    return out.reshape(n_pad, 16)[:n_gauss]
+
+
 def _segreduce_kernel(off_ref, packed_hbm, out_ref, buf, sem):
     """Sum emission-contiguous instance-gradient runs per gaussian.
 
@@ -913,6 +1002,54 @@ def _segreduce_kernel(off_ref, packed_hbm, out_ref, buf, sem):
     jax.lax.fori_loop(0, nchunks, body, 0)
 
 
+def _reorder_mode() -> str:
+    mode = os.environ.get("GSCREAM_REORDER", "cm")
+    if mode not in ("cm", "gather", "scatter", "sort"):
+        raise ValueError(
+            f"GSCREAM_REORDER={mode!r}: must be one of "
+            "'cm', 'gather', 'scatter', 'sort'")
+    return mode
+
+
+def reduce_grads_cm(raw, binning: Binning, n_gauss: int, interpret: bool,
+                    valid=None):
+    """Packed kernel grad rows → (N, 16) per-gaussian sums, column-major.
+
+    The r4-default gradient flow: unpack the (rows, 128) kernel output
+    into dense attribute rows (MXU shuffle, :mod:`.shuffle`), reorder to
+    emission order with one stable sort whose 11 payload operands are
+    those dense rows (``lax.sort`` payloads stream — the round-3 cost of
+    the 'sort' mode was the lane interleaves around it, not the sort),
+    then reduce with the single-matmul column-major kernel.  Avoids the
+    ``(capacity, 16)`` lane-padded intermediates of the row modes
+    entirely (~23 ms of relayout at the 1.31 M bench tier).
+
+    ``valid`` (cap,) optionally masks sorted-order slots (the band-
+    sharded path zeroes slots owned by other devices' bands).
+    """
+    cap = binning.emit_slot.shape[0]
+    pad_rows = -raw.shape[0] % (_SHUF_BLK // _SHUF_PHI)
+    if pad_rows:
+        raw = jnp.pad(raw, ((0, pad_rows), (0, 0)))
+    # sanitize: rows the kernel never wrote (other bands' slots in the
+    # band-sharded path; the sub-chunk sentinel tail at tiny capacities)
+    # are raw uninitialized HBM.  The unpack's indicator matmul would
+    # spread a NaN/Inf bit pattern across its whole block (NaN·0 = NaN);
+    # FINITE garbage passes through lane-exact and is masked below.
+    raw = jnp.where(jnp.isfinite(raw), raw, 0.0)
+    cols = unpack_columns(raw, interpret)          # (16, rows*8)
+    ops = tuple(cols[i, :cap] for i in range(1, 12))
+    if valid is not None:
+        # where, not multiply: garbage slots must become exact zeros
+        ops = tuple(jnp.where(valid, o, 0.0) for o in ops)
+    out = jax.lax.sort((binning.emit_slot,) + ops, num_keys=1,
+                       is_stable=True)
+    z = jnp.zeros((1, cap), jnp.float32)
+    ge = jnp.concatenate([z] + [o[None] for o in out[1:]] + [z] * 4,
+                         axis=0)                   # (16, cap)
+    return segment_reduce_cm(ge, binning.offsets, n_gauss, interpret)
+
+
 def segment_reduce_grads(conv, binning: Binning, n_gauss: int,
                          interpret: bool):
     """(capacity, 16) sorted-order instance rows → (N, 16) per-gaussian sums.
@@ -932,14 +1069,15 @@ def segment_reduce_grads(conv, binning: Binning, n_gauss: int,
       stable sort on the emission slot (the round-1/2 default).
 
     Then pack 8 instances per 128-lane row and run the indicator-matmul
-    reduction kernel.
+    reduction kernel.  (The 'cm' default routes through
+    :func:`reduce_grads_cm` instead — this function serves the legacy
+    row modes only.)
     """
     cap = binning.emit_slot.shape[0]
-    mode = os.environ.get("GSCREAM_REORDER", "gather")
-    if mode not in ("gather", "scatter", "sort"):
-        raise ValueError(
-            f"GSCREAM_REORDER={mode!r}: must be one of "
-            "'gather', 'scatter', 'sort'")
+    mode = _reorder_mode()
+    if mode == "cm":
+        raise ValueError("GSCREAM_REORDER=cm routes through "
+                         "reduce_grads_cm, not segment_reduce_grads")
     if mode == "scatter":
         ge = jnp.zeros((cap, 16), jnp.float32).at[
             binning.emit_slot].set(conv, mode='drop',
@@ -1051,14 +1189,16 @@ def _raster_bwd(width, height, interpret, res, g: TiledOut):
     cap = binning.gauss_id.shape[0]
     # rows leave the kernel already centered (sx/sy shift applied
     # in-kernel) and the sentinel tail zero-filled — reduction-ready.
-    # Grad rows are packed 8 instances/row; the reshape is free.
-    conv = raw.reshape(-1, ILANES)[:cap]
-
     if os.environ.get("GSCREAM_SCATTER_REDUCE"):
         # fallback: XLA scatter-add (~150 ms at 2M instances)
+        conv = raw.reshape(-1, ILANES)[:cap]
         per_gauss = jax.ops.segment_sum(conv, binning.gauss_id,
                                         num_segments=n_gauss)
+    elif _reorder_mode() == "cm":
+        per_gauss = reduce_grads_cm(raw, binning, n_gauss, interpret)
     else:
+        # row modes pay a (rows,128) → (capacity,16) lane relayout here
+        conv = raw.reshape(-1, ILANES)[:cap]
         per_gauss = segment_reduce_grads(conv, binning, n_gauss, interpret)
     d_mean2d, d_conic, d_op, d_col, d_depth, d_unc = pergauss_chain(
         per_gauss, mean2d, conic, op)
@@ -1081,6 +1221,42 @@ rasterize_tiled.defvjp(_raster_fwd, _raster_bwd)
 # ---------------------------------------------------------------------------
 # high-level entry
 
+def build_binning(splats: Splats, opacity, colors, unc, capacity: int,
+                  width: int, height: int, precise: bool = True,
+                  interpret: bool | None = None) -> Binning:
+    """Emission-pipeline selector shared by every render path.
+
+    GSCREAM_EMIT=pallas routes the default training configuration
+    (precise lex sort, row-tight culling, tiered capacity) through the
+    Pallas expansion pipeline (:mod:`.emission` — dense columns, no
+    capacity-scale relayouts); anything that pipeline does not cover —
+    fast/quantized sort, full-rect emission, raw-coefficient kernels,
+    unaligned capacities — falls back to the XLA build, as does
+    GSCREAM_EMIT=xla.
+    """
+    if interpret is None:
+        interpret = _interpret_default()
+    # binning carries values only (indices + attribute copies); true
+    # gradients flow through the rasterizer's direct arguments
+    splats, opacity, colors, unc = jax.lax.stop_gradient(
+        (splats, opacity, colors, unc))
+    use_pallas = (os.environ.get("GSCREAM_EMIT", "xla") == "pallas"
+                  and precise and not KERNEL_COEFF
+                  and splats.t_iso is not None
+                  and os.environ.get("GSCREAM_ROW_TIGHT") != "0"
+                  and os.environ.get("GSCREAM_SORT_FUSED") != "1"
+                  and capacity % 1024 == 0)
+    if use_pallas:
+        from .emission import bin_instances_pallas
+        return bin_instances_pallas(splats, opacity, colors, unc,
+                                    capacity, width, height,
+                                    TILE_W, TILE_H, interpret=interpret)
+    return bin_instances(
+        splats, capacity, width, height, TILE_W, TILE_H, precise=precise,
+        attrs=gauss_attrs(splats.mean2d, splats.conic, opacity, colors,
+                          splats.depth, unc))
+
+
 def render_tiled(means3d, scales, rots, colors, opacity, unc, camera, bg,
                  capacity: int = 2 ** 21, scale_modifier: float = 1.0,
                  interpret: bool | None = None):
@@ -1096,10 +1272,9 @@ def render_tiled(means3d, scales, rots, colors, opacity, unc, camera, bg,
                         camera.width, camera.height, camera.tan_fovx,
                         camera.tan_fovy, scale_modifier,
                         tile_w=TILE_W, tile_h=TILE_H, opacity=opacity)
-    binning = bin_instances(
-        splats, capacity, camera.width, camera.height, TILE_W, TILE_H,
-        attrs=gauss_attrs(splats.mean2d, splats.conic, opacity, colors,
-                          splats.depth, unc))
+    binning = build_binning(splats, opacity, colors, unc, capacity,
+                            camera.width, camera.height,
+                            interpret=interpret)
     out = rasterize_tiled(splats.mean2d, splats.conic, opacity, colors,
                           splats.depth, unc, binning, bg,
                           camera.width, camera.height, interpret)

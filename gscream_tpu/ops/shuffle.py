@@ -1,0 +1,113 @@
+"""Dense-column ↔ packed-row instance layout shuffles (Pallas, MXU).
+
+The tile kernels read instances packed 8 per 128-lane row (16 lanes
+each, ``rasterize_tiled.py`` module docstring).  Building that layout
+from per-attribute data in XLA costs a genuine relayout: a
+``(capacity, 16)`` array is lane-padded 16→128 on TPU, so the
+16-column ``jnp.stack`` + reshape in ``pack_instance_data`` measured
+15.5 ms at the 1.31 M bench tier, and the backward's inverse
+(``(rows,128) → (capacity,16)`` for the emit-slot reorder) another
+~23 ms (BASELINE.md round-4 profile).  The reference's CUDA pipeline
+has no analogue — its per-instance structs are AoS from the start
+(``cuda_rasterizer/rasterizer_impl.cu:70-111``).
+
+These kernels do the shuffle at HBM bandwidth instead: attributes live
+as **dense rows of a (16, capacity) array** (each attribute is one
+128-lane-dense row — the natural output format of ``lax.sort`` payload
+operands and elementwise column math), and the lane↔sublane shuffle
+into packed rows runs on the MXU as 8 indicator matmuls per 1024-
+instance block:
+
+    out[r, 16φ+j] = cols[j, 8r+φ]        (pack_columns)
+    cols[j, 8r+φ] = packed[r, 16φ+j]     (unpack_columns)
+
+Indicator products are exact (each output element is 1.0·x + zeros),
+so the shuffle is bit-faithful for normal floats; at ~2 M MACs per
+block the MXU cost is ~1 ms at the bench tier — pure bandwidth.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+ILANES = 16       # floats per instance (lane group width)
+PHI = 8           # instances per 128-lane packed row
+BLK = 1024        # instances per kernel block
+_HIGHEST = jax.lax.Precision.HIGHEST
+
+
+def _sel(phi: int):
+    """(BLK, BLK//PHI) indicator: S[i, r] = 1 iff i == PHI*r + phi."""
+    i = jax.lax.broadcasted_iota(jnp.int32, (BLK, BLK // PHI), 0)
+    r = jax.lax.broadcasted_iota(jnp.int32, (BLK, BLK // PHI), 1)
+    return (i == PHI * r + phi).astype(jnp.float32)
+
+
+def _pack_kernel(cols_ref, out_ref):
+    buf = cols_ref[...]                                # (16, BLK)
+    for phi in range(PHI):
+        # part[r, j] = Σ_i S[i, r]·cols[j, i] = cols[j, PHI·r+phi]
+        part = jax.lax.dot_general(
+            _sel(phi), buf, (((0,), (1,)), ((), ())),
+            precision=_HIGHEST, preferred_element_type=jnp.float32)
+        out_ref[:, ILANES * phi:ILANES * (phi + 1)] = part
+
+
+def _unpack_kernel(packed_ref, out_ref):
+    acc = jnp.zeros((ILANES, BLK), jnp.float32)
+    for phi in range(PHI):
+        part = packed_ref[:, ILANES * phi:ILANES * (phi + 1)]  # (R,16)
+        # contrib[j, i] = Σ_r part[r, j]·S[i, r] = packed[i//8, 16φ+j]
+        # exactly at lanes i ≡ phi (mod 8), zero elsewhere
+        acc = acc + jax.lax.dot_general(
+            part, _sel(phi), (((0,), (1,)), ((), ())),
+            precision=_HIGHEST, preferred_element_type=jnp.float32)
+    out_ref[...] = acc
+
+
+def _check(cols_shape):
+    c, n = cols_shape
+    if c != ILANES:
+        raise ValueError(f"expected {ILANES} attribute rows, got {c}")
+    if n % BLK:
+        raise ValueError(f"instance count {n} not a multiple of {BLK}")
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def pack_columns(cols: jnp.ndarray, interpret: bool = False):
+    """(16, n) dense attribute rows → (n//8, 128) packed instance rows."""
+    _check(cols.shape)
+    n = cols.shape[1]
+    nblk = n // BLK
+    return pl.pallas_call(
+        _pack_kernel,
+        grid=(nblk,),
+        in_specs=[pl.BlockSpec((ILANES, BLK), lambda b: (0, b))],
+        out_specs=pl.BlockSpec((BLK // PHI, 128), lambda b: (b, 0)),
+        out_shape=jax.ShapeDtypeStruct((n // PHI, 128), jnp.float32),
+        interpret=interpret,
+    )(cols)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def unpack_columns(packed: jnp.ndarray, interpret: bool = False):
+    """(n//8, 128) packed instance rows → (16, n) dense attribute rows."""
+    rows, lanes = packed.shape
+    if lanes != 128:
+        raise ValueError(f"expected 128-lane packed rows, got {lanes}")
+    n = rows * PHI
+    if n % BLK:
+        raise ValueError(f"row count {rows} not a multiple of {BLK // PHI}")
+    nblk = n // BLK
+    return pl.pallas_call(
+        _unpack_kernel,
+        grid=(nblk,),
+        in_specs=[pl.BlockSpec((BLK // PHI, 128), lambda b: (b, 0))],
+        out_specs=pl.BlockSpec((ILANES, BLK), lambda b: (0, b)),
+        out_shape=jax.ShapeDtypeStruct((ILANES, n), jnp.float32),
+        interpret=interpret,
+    )(packed)

@@ -161,12 +161,17 @@ def _band_bwd_at(band, width, height, n_bands, interpret, res, g: TiledOut):
     n_tiles_real = gx * gy
     slot_band = binning.tile_id // (rows_per_band * gx)
     valid = (binning.tile_id < n_tiles_real) & (slot_band == band)
-    conv = jnp.where(valid[:, None], raw.reshape(-1, ILANES)[:cap], 0.0)
 
-    # band-masked rows reduce to zero, so the Pallas segment reducer is
+    # band-masked rows reduce to zero, so the Pallas segment reducers are
     # directly applicable per band (partials psum'd by the shard_map
     # transpose)
-    per_gauss = rt.segment_reduce_grads(conv, binning, n_gauss, interpret)
+    if rt._reorder_mode() == "cm":
+        per_gauss = rt.reduce_grads_cm(raw, binning, n_gauss, interpret,
+                                       valid=valid)
+    else:
+        conv = jnp.where(valid[:, None], raw.reshape(-1, ILANES)[:cap], 0.0)
+        per_gauss = rt.segment_reduce_grads(conv, binning, n_gauss,
+                                            interpret)
     d_mean2d, d_conic, d_op, d_col, d_depth, d_unc = rt.pergauss_chain(
         per_gauss, mean2d, conic, opacity)
     # cotangents are partial (this band only); the outer shard_map
@@ -203,11 +208,9 @@ def render_view_sharded(scaffold: ScaffoldState, camera: Camera, bg,
     mean2d = (splats.mean2d if screen_zero is None
               else splats.mean2d + screen_zero)
     gx, gy, gy_pad, _ = _band_geometry(camera.width, camera.height, n_bands)
-    binning = bin_instances(
-        splats, capacity, camera.width, camera.height, TILE_W, TILE_H,
-        attrs=jax.lax.stop_gradient(rt.gauss_attrs(
-            mean2d, splats.conic, dec.opacity, dec.color,
-            splats.depth, dec.uncertainty)))
+    binning = rt.build_binning(
+        splats, dec.opacity, dec.color, dec.uncertainty, capacity,
+        camera.width, camera.height, interpret=interpret)
     # pad the tile-range arrays to the banded grid.  Pad tiles carry
     # start = end of the last REAL tile (count=0), NOT start=0: the
     # backward kernel's sentinel pass zero-fills grad_hbm from the LAST

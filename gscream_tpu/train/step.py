@@ -62,13 +62,11 @@ def render_from_params(params, mlps, scaffold: ScaffoldState, camera: Camera,
         tile_w=TILE_W, tile_h=TILE_H, active_mask=dec.active,
         opacity=dec.opacity)
     mean2d = splats.mean2d + screen_zero
-    from ..ops.rasterize_tiled import gauss_attrs
-    binning = bin_instances(
-        splats, capacity, camera.width, camera.height, TILE_W, TILE_H,
-        precise=precise_sort,
-        attrs=jax.lax.stop_gradient(gauss_attrs(
-            mean2d, splats.conic, dec.opacity, dec.color, splats.depth,
-            dec.uncertainty)))
+    from ..ops.rasterize_tiled import build_binning
+    binning = build_binning(
+        splats, dec.opacity, dec.color, dec.uncertainty, capacity,
+        camera.width, camera.height, precise=precise_sort,
+        interpret=interpret)
     out = rasterize_tiled(mean2d, splats.conic, dec.opacity, dec.color,
                           splats.depth, dec.uncertainty, binning, bg,
                           camera.width, camera.height, interpret)

@@ -133,8 +133,9 @@ def bwd_parts():
     from gscream_tpu.ops.binning import bin_instances
     from gscream_tpu.ops.projection import preprocess
     from gscream_tpu.ops.rasterize_tiled import (
-        ILANES, TILE_H, TILE_W, _run_backward, image_to_tiles,
-        pack_instance_data, segment_reduce_grads)
+        ILANES, TILE_H, TILE_W, _reorder_mode, _run_backward,
+        image_to_tiles, pack_instance_data, reduce_grads_cm,
+        segment_reduce_grads)
     rng = np.random.default_rng(0)
     cfg = ScaffoldConfig(feat_dim=32, n_offsets=10, voxel_size=0.01,
                          capacity=1 << 15)
@@ -173,8 +174,12 @@ def bwd_parts():
                  binning.tile_count, label="pallas backward kernel")
     n_g = splats.mean2d.shape[0]
     cap = binning.gauss_id.shape[0]
-    seg_fn = jax.jit(lambda r, b: segment_reduce_grads(
-        r.reshape(-1, ILANES)[:cap], b, n_g, interpret))
+    if _reorder_mode() == "cm":
+        seg_fn = jax.jit(lambda r, b: reduce_grads_cm(
+            r, b, n_g, interpret))
+    else:
+        seg_fn = jax.jit(lambda r, b: segment_reduce_grads(
+            r.reshape(-1, ILANES)[:cap], b, n_g, interpret))
     timeit(seg_fn, raw, binning, label="segment reduce")
 
 

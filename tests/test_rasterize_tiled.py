@@ -180,3 +180,27 @@ def test_backward_matches_oracle_saturating(rng):
     for name, a, b in zip(["mean2d", "conic", "op", "col", "dep", "unc"],
                           gt, go):
         _assert_close_flip_aware(a, b, atol=3e-4, rtol=3e-3, name=name)
+
+
+def test_reorder_modes_agree(rng, monkeypatch):
+    """The cm (column-major) gradient flow matches the legacy gather flow
+    to fp32 reduction tolerance on full pixel-gradient pytrees."""
+    cam, splats, colors, opac, unc, _ = _setup(rng, n=400)
+    bg = jnp.zeros(3)
+    binning = bin_instances(splats, 8192, cam.width, cam.height,
+                            TILE_W, TILE_H)
+
+    def loss(op, col):
+        out = rasterize_tiled(splats.mean2d, splats.conic, op, col,
+                              splats.depth, unc, binning, bg,
+                              cam.width, cam.height, True)
+        return (jnp.sum(out.color * jnp.cos(out.color))
+                + jnp.sum(out.depth) + 0.3 * jnp.sum(out.uncertainty))
+
+    grads = {}
+    for mode in ("gather", "cm"):
+        monkeypatch.setenv("GSCREAM_REORDER", mode)
+        grads[mode] = jax.grad(loss, argnums=(0, 1))(opac, colors)
+    for ga, gc in zip(grads["gather"], grads["cm"]):
+        np.testing.assert_allclose(np.asarray(gc), np.asarray(ga),
+                                   rtol=1e-5, atol=1e-6)
