@@ -131,3 +131,32 @@ def depth_loss_other(depth, midas_depth, gt_mask, w_depth: float,
     loss = loss + 0.5 * w_smooth * multiscale_gradient_loss(
         aligned, midas_depth, valid)
     return loss
+
+
+def inverse_depth_smoothness(idepth, image, mask=None):
+    """Image-aware inverse-depth smoothness (kornia semantics).
+
+    ``loss = |∂x d|·exp(-mean_c|∂x I|) + |∂y d|·exp(-mean_c|∂y I|)``,
+    each term mean-reduced over its (H, W-1) / (H-1, W) grid.  Mirrors
+    the reference's ``inverse_depth_smoothness_loss`` and its masked
+    ``_spatial`` variant (/root/reference/utils/loss_utils.py:224-346;
+    forward differences d[..., :-1] - d[..., 1:], loss_utils.py:211-221).
+    Unused in the reference's run configuration (PARITY.md) but part of
+    its loss library surface.
+
+    idepth: (H, W) inverse depth; image: (3, H, W); mask: optional
+    (H, W) — multiplies the per-pixel terms before the mean (the
+    reference's spatial variant keeps the UNMASKED denominator).
+    """
+    dx_d = jnp.abs(idepth[:, :-1] - idepth[:, 1:])
+    dy_d = jnp.abs(idepth[:-1, :] - idepth[1:, :])
+    wx = jnp.exp(-jnp.mean(jnp.abs(image[:, :, :-1] - image[:, :, 1:]),
+                           axis=0))
+    wy = jnp.exp(-jnp.mean(jnp.abs(image[:, :-1, :] - image[:, 1:, :]),
+                           axis=0))
+    sx = dx_d * wx
+    sy = dy_d * wy
+    if mask is not None:
+        sx = sx * mask[:, :-1]
+        sy = sy * mask[:-1, :]
+    return jnp.mean(sx) + jnp.mean(sy)

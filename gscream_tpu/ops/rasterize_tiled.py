@@ -878,39 +878,45 @@ SEG_GB = 256       # gaussians per reduction block
 SEG_RCAP = 256     # packed rows (8 instances each) per inner step
 
 
-SEG_IC = 2048      # instances (lanes) per column-major reducer step
+SEG_ICB = 16       # 128-instance blocks per column-major reducer step
+SEG_IC = SEG_ICB * 128
 
 
-def _segreduce_cm_kernel(off_ref, cols_hbm, out_ref, buf, sem):
-    """Column-major segment reduction: ONE indicator matmul per chunk.
+def _segreduce_cm_kernel(off_ref, blk_hbm, out_ref, buf, sem):
+    """Column-major segment reduction over lane-blocked grad columns.
 
-    cols_hbm: (16, n_lanes) — dense attribute rows in emission order
-    (grad lanes 1..11 as rows 1..11).  off_ref: this block's gaussian
-    offsets.  S[g, i] = 1 iff instance i belongs to gaussian g, so
-    ``S @ colsᵀ`` sums every gaussian's contiguous emission run — 8×
-    fewer MACs than the packed-row variant's per-φ matmuls (4096 vs
-    32768 MACs per instance at SEG_GB=256).
+    blk_hbm: (n/128, 16, 128) — dense attribute rows in emission order
+    (grad lanes 1..11 as rows 1..11), lane-blocked so the instance
+    window is a dim-0 slice (Mosaic allows any dynamic offset there;
+    lane-dim DMA offsets are restricted).  off_ref: this block's
+    gaussian offsets.  Per 128-instance sub-block one indicator matmul
+    ``S @ Xᵀ`` sums every gaussian's contiguous emission run — 8× fewer
+    MACs than the packed-row reducer's per-φ matmuls (4096 vs 32768 per
+    instance at SEG_GB=256).
     """
     start_i = off_ref[0, 0]
     end_i = off_ref[SEG_GB, 0]
-    c0 = (start_i // 128) * 128                    # lane-aligned window
-    nchunks = pl.cdiv(end_i - c0, SEG_IC)
+    b0 = start_i // 128                            # first instance block
+    nchunks = pl.cdiv(end_i - b0 * 128, SEG_IC)
 
     out_ref[...] = jnp.zeros((SEG_GB, 16), jnp.float32)
     lo = off_ref[0:SEG_GB, :]                      # (SEG_GB,1) [lo, hi)
     hi = off_ref[1:SEG_GB + 1, :]
-    iiota = jax.lax.broadcasted_iota(jnp.int32, (1, SEG_IC), 1)
+    iiota = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
 
     def body(j, _):
         cp = pltpu.make_async_copy(
-            cols_hbm.at[:, pl.ds(c0 + j * SEG_IC, SEG_IC)], buf, sem)
+            blk_hbm.at[pl.ds(b0 + j * SEG_ICB, SEG_ICB)], buf, sem)
         cp.start()
         cp.wait()
-        inst = c0 + j * SEG_IC + iiota             # (1, SEG_IC)
-        s = ((inst >= lo) & (inst < hi)).astype(jnp.float32)
-        out_ref[...] += jax.lax.dot_general(
-            s, buf[...], (((1,), (1,)), ((), ())),
-            precision=_HIGHEST, preferred_element_type=jnp.float32)
+        acc = jnp.zeros((SEG_GB, 16), jnp.float32)
+        for k in range(SEG_ICB):
+            inst = (b0 + j * SEG_ICB + k) * 128 + iiota    # (1,128)
+            s = ((inst >= lo) & (inst < hi)).astype(jnp.float32)
+            acc = acc + jax.lax.dot_general(
+                s, buf[k], (((1,), (1,)), ((), ())),
+                precision=_HIGHEST, preferred_element_type=jnp.float32)
+        out_ref[...] += acc
         return 0
 
     jax.lax.fori_loop(0, nchunks, body, 0)
@@ -925,8 +931,14 @@ def segment_reduce_cm(ge_cols, offsets, n_gauss: int, interpret: bool):
     kernel's sentinel fill guarantees this).
     """
     cap = ge_cols.shape[1]
-    # chunk overrun slack: c0 + nchunks*SEG_IC can pass cap by < SEG_IC+128
-    cols = jnp.pad(ge_cols, ((0, 0), (0, SEG_IC + 128)))
+    # chunk overrun slack: b0 + nchunks*SEG_ICB blocks can pass cap by
+    # < SEG_IC + 128; then lane-block: (cap/128, 16, 128).  The reshape
+    # of each dense row is free; the stack is a tile-granular interleave
+    # (pure bandwidth).
+    pad = SEG_IC + 128 + (-(cap + SEG_IC + 128) % 128)
+    cols = jnp.pad(ge_cols, ((0, 0), (0, pad)))
+    blocked = jnp.stack(
+        [cols[i].reshape(-1, 128) for i in range(16)], axis=1)
 
     n_pad = -(-n_gauss // SEG_GB) * SEG_GB
     offs = jnp.pad(offsets, (0, n_pad + 1 - offsets.shape[0]), mode="edge")
@@ -949,13 +961,13 @@ def segment_reduce_cm(ge_cols, offsets, n_gauss: int, interpret: bool):
             out_specs=pl.BlockSpec((None, SEG_GB, 16), lambda b: (b, 0, 0),
                                    memory_space=pltpu.VMEM),
             scratch_shapes=[
-                pltpu.VMEM((16, SEG_IC), jnp.float32),
+                pltpu.VMEM((SEG_ICB, 16, 128), jnp.float32),
                 pltpu.SemaphoreType.DMA(()),
             ],
         ),
         out_shape=jax.ShapeDtypeStruct((n_blocks, SEG_GB, 16), jnp.float32),
         interpret=interpret,
-    )(off_blocks, cols)
+    )(off_blocks, blocked)
     return out.reshape(n_pad, 16)[:n_gauss]
 
 

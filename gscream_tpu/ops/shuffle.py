@@ -40,19 +40,19 @@ BLK = 1024        # instances per kernel block
 _HIGHEST = jax.lax.Precision.HIGHEST
 
 
-def _sel(phi: int):
-    """(BLK, BLK//PHI) indicator: S[i, r] = 1 iff i == PHI*r + phi."""
-    i = jax.lax.broadcasted_iota(jnp.int32, (BLK, BLK // PHI), 0)
-    r = jax.lax.broadcasted_iota(jnp.int32, (BLK, BLK // PHI), 1)
+def _selT(phi: int):
+    """(BLK//PHI, BLK) indicator: S[r, i] = 1 iff i == PHI*r + phi."""
+    r = jax.lax.broadcasted_iota(jnp.int32, (BLK // PHI, BLK), 0)
+    i = jax.lax.broadcasted_iota(jnp.int32, (BLK // PHI, BLK), 1)
     return (i == PHI * r + phi).astype(jnp.float32)
 
 
 def _pack_kernel(cols_ref, out_ref):
     buf = cols_ref[...]                                # (16, BLK)
     for phi in range(PHI):
-        # part[r, j] = Σ_i S[i, r]·cols[j, i] = cols[j, PHI·r+phi]
+        # part[r, j] = Σ_i S[r, i]·cols[j, i] = cols[j, PHI·r+phi]
         part = jax.lax.dot_general(
-            _sel(phi), buf, (((0,), (1,)), ((), ())),
+            _selT(phi), buf, (((1,), (1,)), ((), ())),
             precision=_HIGHEST, preferred_element_type=jnp.float32)
         out_ref[:, ILANES * phi:ILANES * (phi + 1)] = part
 
@@ -61,10 +61,10 @@ def _unpack_kernel(packed_ref, out_ref):
     acc = jnp.zeros((ILANES, BLK), jnp.float32)
     for phi in range(PHI):
         part = packed_ref[:, ILANES * phi:ILANES * (phi + 1)]  # (R,16)
-        # contrib[j, i] = Σ_r part[r, j]·S[i, r] = packed[i//8, 16φ+j]
+        # contrib[j, i] = Σ_r part[r, j]·S[r, i] = packed[i//8, 16φ+j]
         # exactly at lanes i ≡ phi (mod 8), zero elsewhere
         acc = acc + jax.lax.dot_general(
-            part, _sel(phi), (((0,), (1,)), ((), ())),
+            part, _selT(phi), (((0,), (0,)), ((), ())),
             precision=_HIGHEST, preferred_element_type=jnp.float32)
     out_ref[...] = acc
 

@@ -11,11 +11,9 @@ import numpy as np
 
 from gscream_tpu.cameras import make_camera
 from gscream_tpu.model.scaffold import ScaffoldConfig, decode, init_scaffold
-from gscream_tpu.ops.binning import bin_instances
 from gscream_tpu.ops.projection import preprocess
 from gscream_tpu.ops.rasterize_tiled import (
-    TILE_H, TILE_W, gauss_attrs, pack_instance_data, rasterize_tiled,
-    _run_forward)
+    TILE_H, TILE_W, pack_instance_data, rasterize_tiled, _run_forward)
 
 
 def timeit(f, *args, iters=5, label=""):
@@ -71,11 +69,12 @@ def main():
     capacity = max(capacity_tier(max(n_emit, ROW_RATIO * n_rows)), 1 << 14)
     print(f"emitted {n_emit}  rows {n_rows}  capacity tier {capacity}")
 
-    bin_fn = jax.jit(lambda s, d: bin_instances(
-        s, capacity, width, height, TILE_W, TILE_H,
-        attrs=gauss_attrs(s.mean2d, s.conic, d.opacity, d.color, s.depth,
-                          d.uncertainty)))
-    binning = timeit(bin_fn, splats, dec, label="binning (sort+attrs)")
+    from gscream_tpu.ops.rasterize_tiled import build_binning
+    emit = os.environ.get("GSCREAM_EMIT", "xla")
+    bin_fn = jax.jit(lambda s, d: build_binning(
+        s, d.opacity, d.color, d.uncertainty, capacity, width, height,
+        interpret=interpret))
+    binning = timeit(bin_fn, splats, dec, label=f"binning (emit={emit})")
     print("instances:", int(binning.num_instances))
 
     gx = -(-width // TILE_W)
@@ -130,7 +129,7 @@ def bwd_parts():
     from gscream_tpu.cameras import make_camera
     from gscream_tpu.model.scaffold import ScaffoldConfig, decode, \
         init_scaffold
-    from gscream_tpu.ops.binning import bin_instances
+    from gscream_tpu.train.loop import capacity_tier  # noqa: F401 (reimported below)
     from gscream_tpu.ops.projection import preprocess
     from gscream_tpu.ops.rasterize_tiled import (
         ILANES, TILE_H, TILE_W, _reorder_mode, _run_backward,
@@ -159,7 +158,10 @@ def bwd_parts():
     n_emit = int(jnp.sum(jnp.where(splats.radius > 0, rw * rh, 0)))
     capacity = max(capacity_tier(n_emit), 1 << 14)
     print("emitted", n_emit, "capacity tier", capacity)
-    binning = bin_instances(splats, capacity, width, height, TILE_W, TILE_H)
+    from gscream_tpu.ops.rasterize_tiled import build_binning
+    binning = build_binning(splats, dec.opacity, dec.color,
+                            dec.uncertainty, capacity, width, height,
+                            interpret=interpret)
     gx = -(-width // TILE_W)
     n_tiles = gx * (-(-height // TILE_H))
     inst = pack_instance_data(splats.mean2d, splats.conic, dec.opacity,

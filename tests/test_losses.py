@@ -105,3 +105,36 @@ def test_psnr():
     a = jnp.full((3, 8, 8), 0.5)
     b = jnp.full((3, 8, 8), 0.6)
     assert float(losses.psnr(a, b)) == pytest.approx(20.0, abs=1e-3)
+
+
+def test_inverse_depth_smoothness_matches_torch():
+    """Parity with the reference's kornia-style implementation
+    (loss_utils.py:224-346), including the masked spatial variant."""
+    import torch
+
+    from gscream_tpu.ops.losses import inverse_depth_smoothness
+
+    rng = np.random.default_rng(11)
+    d = rng.uniform(0.1, 2.0, (24, 31)).astype(np.float32)
+    img = rng.uniform(size=(3, 24, 31)).astype(np.float32)
+    mask = (rng.uniform(size=(24, 31)) > 0.4).astype(np.float32)
+
+    td = torch.tensor(d)[None, None]
+    ti = torch.tensor(img)[None]
+    idx = td[:, :, :, :-1] - td[:, :, :, 1:]
+    idy = td[:, :, :-1, :] - td[:, :, 1:, :]
+    imx = ti[:, :, :, :-1] - ti[:, :, :, 1:]
+    imy = ti[:, :, :-1, :] - ti[:, :, 1:, :]
+    wx = torch.exp(-torch.mean(torch.abs(imx), dim=1, keepdim=True))
+    wy = torch.exp(-torch.mean(torch.abs(imy), dim=1, keepdim=True))
+    ref = (torch.mean(torch.abs(idx * wx))
+           + torch.mean(torch.abs(idy * wy))).item()
+    got = float(inverse_depth_smoothness(jnp.asarray(d), jnp.asarray(img)))
+    np.testing.assert_allclose(got, ref, rtol=1e-6)
+
+    tm = torch.tensor(mask)[None, None]
+    ref_m = (torch.mean(torch.abs(idx * wx) * tm[:, :, :, :-1])
+             + torch.mean(torch.abs(idy * wy) * tm[:, :, :-1, :])).item()
+    got_m = float(inverse_depth_smoothness(
+        jnp.asarray(d), jnp.asarray(img), jnp.asarray(mask)))
+    np.testing.assert_allclose(got_m, ref_m, rtol=1e-6)
