@@ -84,10 +84,9 @@ def _window(tab_hbm, w0b, buf, sem, c8: int):
         tab_hbm.at[pl.ds(w0b, WB)], buf, sem)
     cp.start()
     cp.wait()
-    tw = jnp.zeros((c8, W), jnp.float32)
-    for k in range(WB):
-        tw = jax.lax.dynamic_update_slice(tw, buf[k], (0, 128 * k))
-    return tw
+    # lane-concat of the 128-lane blocks (Mosaic has no
+    # dynamic_update_slice; concatenate lowers to static vector writes)
+    return jnp.concatenate([buf[k] for k in range(WB)], axis=1)
 
 
 def _expand(tw, starts, ends, out0):
@@ -212,15 +211,15 @@ def _expand2_kernel(tile_w: int, tile_h: int, grid_x: int, n_tiles: int,
     sy = oy - jnp.round(my)
 
     v = has_src.astype(jnp.float32)
+    # lane 14: the tile — invalid slots sort to the sentinel tile
+    # (= n_tiles), stably by slot
+    tile_col = jnp.where(has_src, tile, jnp.float32(n_tiles))
     cols = jnp.concatenate(
-        [ex[:, 11:12], ex[:, 12:13], ex[:, 13:14], ex[:, 14:15],
-         ex[:, 10:11], ex[:, 15:16],
-         k0, k1, k2, -0.5 * ca, -cb, -0.5 * cc, sx, sy,
-         jnp.zeros_like(k0), ex[:, 2:3]],
-        axis=1) * v                                # (K, 16)
-    # invalid slots sort to the sentinel tile (= n_tiles), stably by slot
-    cols = jax.lax.dynamic_update_slice(
-        cols, jnp.where(has_src, tile, jnp.float32(n_tiles)), (0, 14))
+        [ex[:, 11:12] * v, ex[:, 12:13] * v, ex[:, 13:14] * v,
+         ex[:, 14:15] * v, ex[:, 10:11] * v, ex[:, 15:16] * v,
+         k0 * v, k1 * v, k2 * v, -0.5 * ca * v, -cb * v, -0.5 * cc * v,
+         sx * v, sy * v, tile_col, ex[:, 2:3] * v],
+        axis=1)                                    # (K, 16)
     out_ref[...] = _transpose16(cols)
 
 
