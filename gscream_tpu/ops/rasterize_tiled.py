@@ -163,21 +163,33 @@ def pack_instance_data(mean2d, conic, opacity, colors, depth, unc,
     """
     if binning.cols16 is not None:
         # Pallas emission pipeline: dense sorted attribute rows → packed
-        # rows via the MXU shuffle kernel (no lane-padded intermediates)
-        from .shuffle import pack_columns
+        # rows via the MXU shuffle kernel (no lane-padded intermediates);
+        # pad to the kernel's batched block so its grid runs at full GRP
+        from .shuffle import GRP as _SHUF_GRP, pack_columns
+        cap16 = binning.cols16.shape[1]
+        pad = PAD_SLOTS + (-(cap16 + PAD_SLOTS)
+                           % (_SHUF_GRP * _SHUF_BLK))
         return pack_columns(
-            jnp.pad(binning.cols16, ((0, 0), (0, PAD_SLOTS))),
+            jnp.pad(binning.cols16, ((0, 0), (0, pad))),
             interpret=_interpret_default())
     if binning.attrs is not None:
-        a = binning.attrs                          # (cap, 11) pre-sorted
+        # (cap, 11) pre-sorted; PAD_SLOTS rows of zeros appended (the
+        # kernels read pad rows only as masked chunk-tail riders)
+        a = jnp.pad(binning.attrs, ((0, PAD_SLOTS), (0, 0)))
+        tile = jnp.pad(binning.tile_id, (0, PAD_SLOTS))
     else:
         attrs = gauss_attrs(mean2d, conic, opacity, colors, depth, unc)
-        a = attrs[binning.gauss_id]                # (cap, 11) row gather
+        # pad the (int) index vectors instead of the f32 result: the
+        # r5 trace showed the post-stack capacity-scale jnp.pad costing
+        # ~2 ms — padding gauss_id is free and the gather then emits
+        # (cap + PAD_SLOTS) rows directly.  Pad rows replicate gaussian
+        # 0 at tile 0 — finite, masked everywhere they can be read.
+        a = attrs[jnp.pad(binning.gauss_id, (0, PAD_SLOTS))]
+        tile = jnp.pad(binning.tile_id, (0, PAD_SLOTS))
+    cap = a.shape[0] - PAD_SLOTS
     if KERNEL_COEFF:
-        data16 = jnp.pad(a, ((0, PAD_SLOTS), (0, 16 - a.shape[1])))
-        cap = a.shape[0]
+        data16 = jnp.pad(a, ((0, 0), (0, 16 - a.shape[1])))
         return data16.reshape((cap + PAD_SLOTS) // 8, LANES)
-    tile = binning.tile_id
     ox = ((tile % grid_x) * TILE_W).astype(jnp.float32)
     oy = ((tile // grid_x) * TILE_H).astype(jnp.float32)
     mxl = a[:, 6] - ox
@@ -195,9 +207,7 @@ def pack_instance_data(mean2d, conic, opacity, colors, depth, unc,
     data16 = jnp.stack([
         a[:, 0], a[:, 1], a[:, 2], a[:, 3], a[:, 4], a[:, 5],
         k0, k1, k2, -0.5 * ca, -cb, -0.5 * cc, sx, sy, zero, zero,
-    ], axis=1)                                     # (cap, 16)
-    cap = data16.shape[0]
-    data16 = jnp.pad(data16, ((0, PAD_SLOTS), (0, 0)))
+    ], axis=1)                                     # (cap+PAD, 16)
     # 8 instances per 128-lane row: instance i sits at row i//8, lanes
     # 16·(i%8)..16·(i%8)+16 — a pure reshape, so packing writes 16 floats
     # per instance instead of a 128-lane padded row (8× less HBM traffic)
@@ -330,17 +340,18 @@ def _pixel_basis6():
 
 
 def _power_planes(dchunk, basis6):
-    """All 8 φ power planes of a packed chunk in ONE MXU contraction.
+    """All 8 φ power planes of a packed chunk as MXU contractions.
 
-    dchunk (R,128) → coefficients (8R, 6) φ-major → (8R, PIX); plane φ
-    is rows [φR, (φ+1)R) — contiguous sublane slices, no relayout on
-    the output side."""
-    coef = jnp.concatenate(
-        [dchunk[:, 16 * phi + 6:16 * phi + 12] for phi in range(8)],
-        axis=0)
-    return jax.lax.dot_general(
-        coef, basis6, (((1,), (0,)), ((), ())),
+    dchunk (R,128) → per-φ coefficients (R, 6) → (R, PIX), one
+    contraction per φ lane group.  (A single concat into (8R, 6) would
+    halve dispatch overhead, but Mosaic cannot concatenate slices whose
+    lane offsets differ — "result/input offset mismatch on non-concat
+    dimension" at bench shapes — so the planes stay separate.)"""
+    return [jax.lax.dot_general(
+        dchunk[:, 16 * phi + 6:16 * phi + 12], basis6,
+        (((1,), (0,)), ((), ())),
         precision=_HIGHEST, preferred_element_type=jnp.float32)
+        for phi in range(8)]
 
 
 # ---------------------------------------------------------------------------
@@ -416,8 +427,7 @@ def _fwd_kernel(grid_x, tile_base, tile_start, tile_count, inst_hbm,
             slot_valid = (idx >= start) & (idx < start + count)
             alpha_v, one_m, _ = _phi_blend(
                 d, xr, yr, slot_valid,
-                power=(pw[phi * RPC_F:(phi + 1) * RPC_F]
-                       if MXU_POWER else None), origin=origin)
+                power=(pw[phi] if MXU_POWER else None), origin=origin)
             av_s[phi] = alpha_v
             rowprod = rowprod * one_m
         S = jnp.log(rowprod)
@@ -626,8 +636,7 @@ def _bwd_kernel(grid_x, tile_base, tile_start, tile_count, inst_hbm,
             slot_valid = (idx >= start) & (idx < start + count)
             alpha_v, one_m, g_exp = _phi_blend(
                 d, xr, yr, slot_valid,
-                power=(pw[phi * RPC_B:(phi + 1) * RPC_B]
-                       if MXU_POWER else None), origin=origin)
+                power=(pw[phi] if MXU_POWER else None), origin=origin)
             av_s[phi] = alpha_v
             ge_s[phi] = g_exp
             rowprod = rowprod * one_m
@@ -874,12 +883,17 @@ def pergauss_chain(pg, mean2d, conic, opacity):
 # per-gaussian segment reduction (replaces the XLA scatter-add, which
 # costs ~150 ms at 2M instances — TPU scatters are element-rate bound)
 
-SEG_GB = 256       # gaussians per reduction block
+# reduction block sizes (env-tunable for hardware sweeps).  r5 hardware
+# A/B at the 1.31 M bench tier: SEG_GB 256 → 90.8 ms step, 512 → 93.1,
+# 1024 → 98.0 — the (SEG_GB, 128) indicator build costs cap·SEG_GB
+# element compares, which swamps the grid-dispatch savings of larger
+# blocks; 256 stays the default.
+SEG_GB = int(os.environ.get("GSCREAM_SEG_GB", 256))    # gaussians/block
 SEG_RCAP = 256     # packed rows (8 instances each) per inner step
 
 
-SEG_ICB = 16       # 128-instance blocks per column-major reducer step
-SEG_IC = SEG_ICB * 128
+SEG_ICB = int(os.environ.get("GSCREAM_SEG_ICB", 16))
+SEG_IC = SEG_ICB * 128     # instances per column-major reducer DMA
 
 
 def _segreduce_cm_kernel(off_ref, blk_hbm, out_ref, buf, sem):
@@ -1040,7 +1054,11 @@ def reduce_grads_cm(raw, binning: Binning, n_gauss: int, interpret: bool,
     sharded path zeroes slots owned by other devices' bands).
     """
     cap = binning.emit_slot.shape[0]
-    pad_rows = -raw.shape[0] % (_SHUF_BLK // _SHUF_PHI)
+    # pad to a multiple of the shuffle kernel's batched block so the
+    # unpack grid runs at full GRP batching (pad rows are sanitized to
+    # zero below and sliced off at [:cap])
+    from .shuffle import GRP as _SHUF_GRP
+    pad_rows = -raw.shape[0] % (_SHUF_GRP * _SHUF_BLK // _SHUF_PHI)
     if pad_rows:
         raw = jnp.pad(raw, ((0, pad_rows), (0, 0)))
     # sanitize: rows the kernel never wrote (other bands' slots in the
