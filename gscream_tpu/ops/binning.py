@@ -234,11 +234,12 @@ def emission_counts(splats: Splats, tile_w: int, tile_h: int,
 
 @partial(jax.jit, static_argnames=("capacity", "width", "height",
                                    "tile_w", "tile_h", "precise",
-                                   "sort_mode", "row_tight"))
+                                   "sort_mode", "row_tight", "expand"))
 def bin_instances(splats: Splats, capacity: int, width: int, height: int,
                   tile_w: int, tile_h: int, precise: bool = True,
                   attrs=None, sort_mode: str = "auto",
-                  row_tight: bool | str = "auto") -> Binning:
+                  row_tight: bool | str = "auto",
+                  expand: str = "auto") -> Binning:
     """Build depth-sorted per-tile instance lists with static capacity.
 
     If ``num_instances > capacity`` the trailing instances (highest gaussian
@@ -317,6 +318,10 @@ def bin_instances(splats: Splats, capacity: int, width: int, height: int,
         row_tight = os.environ.get("GSCREAM_ROW_TIGHT") != "0"
     row_tight = bool(row_tight) and splats.t_iso is not None
 
+    if expand == "auto":
+        expand = os.environ.get("GSCREAM_EXPAND", "xla")
+    use_expand = (row_tight and not fused_exact and attrs is None
+                  and n_gauss < (1 << 24) and expand == "pallas")
     if row_tight:
         # -- row-tight emission: stage 1 builds the per-tile-row table
         # (gaussian-major, row-major — emission order is a strict
@@ -328,33 +333,73 @@ def bin_instances(splats: Splats, capacity: int, width: int, height: int,
         (rg, ty, txmin, w_row, ioffs, row_offs, total, total_rows,
          extra_r) = _row_table(splats, row_cap, tile_w, tile_h, extra)
         rslot = jnp.arange(row_cap, dtype=jnp.int32)
-        first_slot = jnp.where(w_row > 0, ioffs, capacity)
-        marks = jnp.zeros((capacity,), jnp.int32).at[first_slot].max(
-            rslot, mode='drop')
-        row_of = jax.lax.cummax(marks)             # slot → row
-
-        # stage-2 fused row gather: rows are already tile-row resolved,
-        # so one packed int ``tile_base = ty·grid_x + txmin`` replaces
-        # the old (rect_min, width) modulo decode entirely
         tile_base = ty * grid_x + txmin
-        cols2 = [ioffs, tile_base, rg] + extra_r
-        pad2 = -len(cols2) % 8
-        cols2 += [jnp.zeros_like(rslot)] * pad2
-        et = jnp.stack(cols2, axis=1)[row_of]      # (capacity,·)
-        local = slot - et[:, 0]
-        tile = et[:, 1] + local
-        g = et[:, 2]
-        a0 = 4 + (1 if fused_exact else 0)         # attr column base
-        depth_col = et[:, 3]
-        rank_col = et[:, 4] if fused_exact else None
-        attr_src = [et[:, a0 + i] for i in range(n_attr)]
+        if use_expand:
+            # -- stage 2 via the windowed Pallas expansion kernel
+            # (GSCREAM_EXPAND=pallas): compaction sort + indicator-
+            # matmul expansion replace the capacity-scale slot→row
+            # scatter+cummax and the (capacity, 8) row gather.  Table
+            # values travel as exact-in-f32 numbers (io/w/tile/rg are
+            # small ints; depth is its f32 VALUE ≥ 0.2 — never bitcast
+            # int patterns through the indicator matmul).
+            from .emission import expand_rows
+            interpret = (bool(os.environ.get("GSCREAM_PALLAS_INTERPRET"))
+                         or jax.default_backend() != "tpu")
+            keep = (w_row > 0).astype(jnp.int32)
+            sC = jax.lax.sort(
+                (1 - keep, tile_base, rg, extra_r[0], w_row),
+                num_keys=1, is_stable=True)
+            tb_c, rg_c, dep_c, w_c = sC[1], sC[2], sC[3], sC[4]
+            io_c = jnp.cumsum(w_c) - w_c
+            f = jnp.float32
+            cols4 = expand_rows(
+                jnp.minimum(io_c, capacity).astype(f), w_c.astype(f),
+                tb_c.astype(f), rg_c.astype(f), _f32(dep_c),
+                capacity, n_tiles, interpret)
+            tile = cols4[0].astype(jnp.int32)
+            g = cols4[1].astype(jnp.int32)
+            depth_col = _bits(cols4[2])
+            rank_col = None
+            attr_src = []
+            # per-gaussian offsets through the compaction: a gaussian's
+            # first row maps to its compacted rank (empty rows inherit
+            # the next kept row's rank — exclusive cumsum), whose io_c
+            # is exactly the ioffs the XLA path reads at that row
+            rowrank = jnp.cumsum(keep) - keep
+            rr_ext = jnp.concatenate(
+                [rowrank, jnp.sum(keep, keepdims=True)])
+            io_ext = jnp.concatenate(
+                [io_c, total.astype(jnp.int32).reshape(1)])
+            first_rank = rr_ext[jnp.minimum(row_offs, row_cap)]
+            goffs = io_ext[jnp.minimum(first_rank, row_cap)]
+            num_rows = total_rows.astype(jnp.int32)
+        else:
+            first_slot = jnp.where(w_row > 0, ioffs, capacity)
+            marks = jnp.zeros((capacity,), jnp.int32).at[first_slot].max(
+                rslot, mode='drop')
+            row_of = jax.lax.cummax(marks)         # slot → row
 
-        # per-gaussian instance offsets: ioffs at each gaussian's first
-        # row (empty gaussians inherit the next start — exclusive cumsum)
-        ioffs_ext = jnp.concatenate(
-            [ioffs, total.astype(jnp.int32).reshape(1)])
-        goffs = ioffs_ext[jnp.minimum(row_offs, row_cap)]
-        num_rows = total_rows.astype(jnp.int32)
+            # stage-2 fused row gather: rows are already tile-row
+            # resolved, so one packed int ``tile_base`` replaces the old
+            # (rect_min, width) modulo decode entirely
+            cols2 = [ioffs, tile_base, rg] + extra_r
+            pad2 = -len(cols2) % 8
+            cols2 += [jnp.zeros_like(rslot)] * pad2
+            et = jnp.stack(cols2, axis=1)[row_of]  # (capacity,·)
+            local = slot - et[:, 0]
+            tile = et[:, 1] + local
+            g = et[:, 2]
+            a0 = 4 + (1 if fused_exact else 0)     # attr column base
+            depth_col = et[:, 3]
+            rank_col = et[:, 4] if fused_exact else None
+            attr_src = [et[:, a0 + i] for i in range(n_attr)]
+
+            # per-gaussian instance offsets: ioffs at each gaussian's
+            # first row (empty gaussians inherit the next start)
+            ioffs_ext = jnp.concatenate(
+                [ioffs, total.astype(jnp.int32).reshape(1)])
+            goffs = ioffs_ext[jnp.minimum(row_offs, row_cap)]
+            num_rows = total_rows.astype(jnp.int32)
     else:
         rect_w = (splats.rect_max[:, 0] - splats.rect_min[:, 0])
         rect_h = (splats.rect_max[:, 1] - splats.rect_min[:, 1])

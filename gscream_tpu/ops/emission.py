@@ -253,6 +253,113 @@ def _window_starts(starts, n_out: int):
 
 
 # ---------------------------------------------------------------------------
+# EXPAND-v2: big-block windowed row→instance expansion (GSCREAM_EXPAND)
+#
+# The r5 hardware trace showed the original KE=256 expansion grids are
+# DISPATCH-bound (~8 µs per grid step ⇒ ~40 ms at the bench tier), which
+# rejected the full Pallas emission pipeline.  This variant expands
+# KOUT=4096 outputs per grid step (320 steps at 1.31 M): one 34-block
+# window DMA per step, then 16 sub-blocks of 256 outputs, each reading a
+# dynamically-positioned 3-block (384-source) sub-window of the VMEM
+# window (Mosaic allows dynamic dim-0 slices of VMEM refs — probed on
+# hardware).  The 3-block sub-window bound requires COMPACTED sources
+# (every source emits ≥ 1 instance ⇒ 256 outputs span ≤ 257 sources,
+# + ≤ 127 alignment slack).  All table values ride as exact-in-f32
+# numbers (small ints; depth as its f32 VALUE, which is ≥ 0.2 by the
+# near clamp, so the 1.0·x indicator matmul is exact — never bitcast
+# int bit patterns through a matmul).
+
+KOUT = 4096       # outputs per grid step
+SUB = 256         # outputs per sub-block
+# window blocks: the last sub-block's source start is ≤ KOUT sources
+# past the first (compacted ⇒ each source emits ≥1), so its 128-aligned
+# block index is ≤ KOUT//128 + 1 past the window block, and the 3-block
+# sub-window must still fit: KOUT//128 + 1 + SWB
+SWB = 3                         # sub-window blocks (SUB+1+127 ≤ 384)
+WBV = KOUT // 128 + 1 + SWB
+
+
+def _expand_rows_kernel(n_tiles: int, sp_ref, tab_hbm, out_ref, buf,
+                        sem):
+    """tab rows: [io, w, tile_base, rg, depth] (+3 pad), compacted.
+    sp_ref: per grid step, [window block offset, 16 × sub-block source
+    row] (17 int32 per step).  Out rows: [tile, g, depth, has] (+4 pad),
+    one column per instance slot."""
+    b = pl.program_id(0)
+    w0b = sp_ref[b, 0]
+    cp = pltpu.make_async_copy(tab_hbm.at[pl.ds(w0b, WBV)], buf, sem)
+    cp.start()
+    cp.wait()
+
+    eye8 = (jax.lax.broadcasted_iota(jnp.int32, (8, 8), 0)
+            == jax.lax.broadcasted_iota(jnp.int32, (8, 8), 1)
+            ).astype(jnp.float32)
+    for k in range(KOUT // SUB):
+        jb = sp_ref[b, 1 + k] // 128 - w0b
+        tw3 = buf[pl.ds(jb, SWB)]                  # (SWB, 8, 128)
+        tw = jnp.concatenate([tw3[j] for j in range(SWB)],
+                             axis=1)               # (8, SWB*128)
+        of = (jnp.float32(b * KOUT + k * SUB)
+              + jax.lax.broadcasted_iota(
+                  jnp.int32, (SUB, 1), 0).astype(jnp.float32))
+        starts = tw[0:1, :]
+        ends = starts + tw[1:2, :]
+        sel = ((of >= starts) & (of < ends)).astype(jnp.float32)
+        ex = jax.lax.dot_general(
+            sel, tw, (((1,), (1,)), ((), ())),
+            precision=_HIGHEST, preferred_element_type=jnp.float32)
+        has = (jnp.sum(sel, axis=1, keepdims=True) > 0.5)
+        hasf = has.astype(jnp.float32)
+        local = of - ex[:, 0:1]
+        tile = jnp.where(has, ex[:, 2:3] + local, jnp.float32(n_tiles))
+        cols = jnp.concatenate(
+            [tile, ex[:, 3:4] * hasf, ex[:, 4:5] * hasf, hasf,
+             jnp.zeros((SUB, 4), jnp.float32)], axis=1)      # (SUB, 8)
+        out_ref[:, k * SUB:(k + 1) * SUB] = jax.lax.dot_general(
+            eye8, cols, (((1,), (1,)), ((), ())),
+            precision=_HIGHEST, preferred_element_type=jnp.float32)
+
+
+def expand_rows(io_c, w_c, tile_base_c, rg_c, depth_c, capacity: int,
+                n_tiles: int, interpret: bool):
+    """Compacted row table → per-instance (tile, g, depth, has) columns.
+
+    All inputs (row_cap,) f32 with exact-in-f32 values; ``io_c`` is the
+    exclusive cumsum of ``w_c`` (clamped to capacity).  Returns
+    (4, capacity) f32.
+    """
+    row_cap = io_c.shape[0]
+    cap_pad = -(-capacity // KOUT) * KOUT
+    # pad the blocked table so a window starting at the last real block
+    # stays in bounds (pad sources have w=0 ⇒ never selected)
+    tab = _blocked_table([io_c, w_c, tile_base_c, rg_c, depth_c],
+                         -(-row_cap // 128) * 128 + WBV * 128)
+    nblk = cap_pad // KOUT
+    o0 = jnp.arange(nblk * (KOUT // SUB), dtype=jnp.int32) * SUB
+    src = jnp.maximum(
+        jnp.searchsorted(io_c, o0, side="right").astype(jnp.int32) - 1, 0)
+    sub_rows = src.reshape(nblk, KOUT // SUB)
+    w0b = sub_rows[:, 0] // 128
+    sp = jnp.concatenate([w0b[:, None], sub_rows], axis=1)   # (nblk, 17)
+    out = pl.pallas_call(
+        functools.partial(_expand_rows_kernel, n_tiles),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(nblk,),
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+            out_specs=pl.BlockSpec((8, KOUT), lambda b, sp: (0, b)),
+            scratch_shapes=[
+                pltpu.VMEM((WBV, 8, 128), jnp.float32),
+                pltpu.SemaphoreType.DMA(()),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((8, cap_pad), jnp.float32),
+        interpret=interpret,
+    )(sp, tab)
+    return out[:4, :capacity]
+
+
+# ---------------------------------------------------------------------------
 # pipeline
 
 @functools.partial(jax.jit, static_argnames=(

@@ -199,3 +199,51 @@ def test_fullrect_when_no_tiso():
                                   np.asarray(b0.tile_id))
     np.testing.assert_array_equal(np.asarray(b.gauss_id),
                                   np.asarray(b0.gauss_id))
+
+
+def test_expand_pallas_matches_xla():
+    """GSCREAM_EXPAND=pallas (compaction sort + windowed indicator-matmul
+    expansion) reproduces the XLA stage-2 build EXACTLY on every consumed
+    Binning field: table values travel as exact-in-f32 numbers, so tile,
+    gauss, depth bits, ranges, and per-gaussian offsets are bit-equal.
+    (gauss_id/depth at invalid slots past num_instances may differ — both
+    paths emit finite don't-care values there.)"""
+    for seed in (0, 3):
+        cam, splats, colors, op, unc, W, H = _scene(seed)
+        cap = 1 << 16
+        a = bin_instances(splats, cap, W, H, TW, TH, expand="xla")
+        b = bin_instances(splats, cap, W, H, TW, TH, expand="pallas")
+        n = int(a.num_instances)
+        assert n > 0 and n <= cap
+        assert int(b.num_instances) == n
+        assert int(b.num_rows) == int(a.num_rows)
+        np.testing.assert_array_equal(np.asarray(a.tile_id),
+                                      np.asarray(b.tile_id))
+        np.testing.assert_array_equal(np.asarray(a.gauss_id)[:n],
+                                      np.asarray(b.gauss_id)[:n])
+        np.testing.assert_array_equal(np.asarray(a.emit_slot)[:n],
+                                      np.asarray(b.emit_slot)[:n])
+        np.testing.assert_array_equal(np.asarray(a.tile_start),
+                                      np.asarray(b.tile_start))
+        np.testing.assert_array_equal(np.asarray(a.tile_count),
+                                      np.asarray(b.tile_count))
+        np.testing.assert_array_equal(np.asarray(a.offsets),
+                                      np.asarray(b.offsets))
+
+
+def test_expand_pallas_overflow_truncates_like_xla():
+    """At an overflowing capacity both stage-2 builds truncate to the
+    same deterministic prefix and report the same true demand."""
+    cam, splats, colors, op, unc, W, H = _scene(1)
+    cap = 4096
+    a = bin_instances(splats, cap, W, H, TW, TH, expand="xla")
+    b = bin_instances(splats, cap, W, H, TW, TH, expand="pallas")
+    assert int(a.num_instances) == int(b.num_instances)
+    assert int(overflow_demand(a)) == int(overflow_demand(b))
+    n = min(int(a.num_instances), cap)
+    np.testing.assert_array_equal(np.asarray(a.tile_id),
+                                  np.asarray(b.tile_id))
+    np.testing.assert_array_equal(np.asarray(a.gauss_id)[:n],
+                                  np.asarray(b.gauss_id)[:n])
+    np.testing.assert_array_equal(np.asarray(a.offsets),
+                                  np.asarray(b.offsets))
