@@ -465,21 +465,41 @@ def train_scene(views, ref_index: int, points: np.ndarray, run: RunConfig,
             json.dump({"iteration": it, "capacity": cap_state["cap"]}, f)
         logger.info("checkpoint saved at iter %d -> %s", it, path)
 
-    pending: Optional[Dict] = None
+    # pipeline depth: outstanding steps kept in flight.  The device
+    # executes queued steps back-to-back; the host resolves the oldest.
+    # Depth 1 (the pre-r5 behavior) pays one host↔device round trip per
+    # step — ruinous behind the axon TPU relay, where per-execute+fetch
+    # latency rivals the step itself (the r5 profile ran the same jitted
+    # step at 90 ms 10-deep while the depth-1 loop logged ~220 ms).
+    # Each extra slot costs one speculative TrainState on device.
+    depth = max(int(os.environ.get("GSCREAM_PIPELINE", "3")), 1)
+    pending: List[Dict] = []
+
+    def drain_one():
+        nonlocal ts
+        rec0 = pending.pop(0)
+        old_tip = rec0["ts_new"]
+        rec0 = resolve(rec0)
+        ts = commit(rec0)
+        if rec0["ts_new"] is not old_tip:
+            # the resolved step was re-run at a higher tier: queued
+            # successors consumed discarded states — re-launch the
+            # chain in order from the corrected state
+            chain = ts
+            for r in pending:
+                launch(r, chain)
+                chain = r["ts_new"]
+
+    def drain_all():
+        while pending:
+            drain_one()
+
     for it in range(start_it, iters + 1):
         rec = prepare(it)
-        tip = pending["ts_new"] if pending is not None else ts
-        rec = launch(rec, tip)
-        if pending is not None:
-            old_tip = pending["ts_new"]
-            pending = resolve(pending)
-            ts = commit(pending)
-            if pending["ts_new"] is not old_tip:
-                # the pending step was re-run at a higher tier — the
-                # just-launched step consumed a discarded state
-                rec = launch(rec, ts)
-            pending = None
-        pending = rec
+        rec = launch(rec, pending[-1]["ts_new"] if pending else ts)
+        pending.append(rec)
+        while len(pending) > depth:
+            drain_one()
 
         # densification boundary (train.py:599-606; strictly below
         # update_until — the reference nests adjust_anchor under
@@ -488,9 +508,7 @@ def train_scene(views, ref_index: int, points: np.ndarray, run: RunConfig,
         densify_now = (opt.update_from < it < opt.update_until
                        and it % opt.update_interval == 0)
         if densify_now or it == iters:
-            pending = resolve(pending)
-            ts = commit(pending)
-            pending = None
+            drain_all()
         if densify_now:
             key = jax.random.fold_in(jax.random.PRNGKey(run.seed + 2), it)
             moments = (ts.m[0], ts.v[0])
@@ -504,10 +522,7 @@ def train_scene(views, ref_index: int, points: np.ndarray, run: RunConfig,
                              m=(m0, ts.m[1]), v=(v0, ts.v[1]))
         # periodic autosave at a committed iteration boundary
         if checkpoint_interval and it % checkpoint_interval == 0:
-            if pending is not None:
-                pending = resolve(pending)
-                ts = commit(pending)
-                pending = None
+            drain_all()
             save_ckpt(it)
     if checkpoint_interval and iters % checkpoint_interval != 0 \
             and iters >= start_it:
