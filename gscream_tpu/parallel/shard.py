@@ -557,9 +557,9 @@ def make_sharded_train_step(mesh, cfg: ScaffoldConfig, opt: OptimConfig,
         new_sc = sc._replace(params=new_anchor, mlps=new_mlps)
         new_ts = ts._replace(scaffold=new_sc, m=new_m, v=new_v, step=step1,
                              step_c=step_c1, stats=stats, key=key)
-        aux_out = StepAux(loss=loss_rep, l1=l1,
-                          num_instances=jnp.max(ninst_b),
-                          n_active=nact_b[0], cross_ok=any_cross)
+        from ..train.step import pack_aux
+        aux_out = pack_aux(loss_rep, l1, jnp.max(ninst_b), nact_b[0],
+                           any_cross)
         return new_ts, aux_out
 
     return step

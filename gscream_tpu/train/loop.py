@@ -267,6 +267,7 @@ def train_scene(views, ref_index: int, points: np.ndarray, run: RunConfig,
             len(inspect.signature(callback).parameters) >= 4)
 
     zero_box = jnp.zeros(4, jnp.int32)
+    zero_fg = jnp.zeros((h, w), jnp.float32)   # cached non-ref fg box
     t_start = time.time()
     cap_state = {"cap": capacity}
     phase2_any = (opt.enable_crossattn_refview > 0
@@ -328,7 +329,11 @@ def train_scene(views, ref_index: int, points: np.ndarray, run: RunConfig,
         if v["is_ref"]:
             fg_box = random_box_mask(rng, v["mask_np"], 1.5, 0.8, h, w)
         else:
-            fg_box = np.zeros((h, w), np.float32)
+            # non-ref views carry no fg box; prepare() substitutes a
+            # CACHED device zeros array instead of uploading an (H, W)
+            # zero image every iteration (2+ MB of H2D per step — one
+            # full RPC behind the TPU relay)
+            fg_box = None
         if use_cross and opt.enable_edge_samping > 0:
             box = sample_patch_in_mask_region(
                 rng, v["mask_np"], 256, opt.sampling_2D_small_ratio, h, w)
@@ -343,7 +348,9 @@ def train_scene(views, ref_index: int, points: np.ndarray, run: RunConfig,
         if mesh_B:
             return prepare_sharded(it)
         s = sample_slot(it)
-        return dict(it=it, vi=s["vi"], fg_box=jnp.asarray(s["fg_box"]),
+        return dict(it=it, vi=s["vi"],
+                    fg_box=(jnp.asarray(s["fg_box"])
+                            if s["fg_box"] is not None else zero_fg),
                     cross_box=(jnp.asarray(s["cross_box"])
                                if s["cross_box"] is not None else zero_box),
                     use_cross=s["use_cross"], feat_frozen=s["feat_frozen"],
@@ -363,7 +370,9 @@ def train_scene(views, ref_index: int, points: np.ndarray, run: RunConfig,
         vs = [dev_views[s["vi"]] for s in slots]
         use_cross = any(s["use_cross"] for s in slots)
         batch = sharded_view_batch(
-            vs, fg_boxes=[s["fg_box"] for s in slots],
+            vs, fg_boxes=[s["fg_box"] if s["fg_box"] is not None
+                          else np.zeros((h, w), np.float32)
+                          for s in slots],
             is_ref=[v["is_ref"] for v in vs],
             cross_boxes=[s["cross_box"] if s["cross_box"] is not None
                          else np.zeros(4, np.int32) for s in slots],
@@ -407,8 +416,12 @@ def train_scene(views, ref_index: int, points: np.ndarray, run: RunConfig,
         the instance count of EVERY step is checked; a step that overflowed
         its capacity tier is re-run from its pre-step state at the raised
         tier before its update is accepted, so no step ever trains on a
-        truncated instance list."""
-        n_inst = int(rec["aux"].num_instances)
+        truncated instance list.
+
+        All host-facing scalars arrive in ONE fetch of ``aux.packed``
+        (each scalar fetch is a full round trip behind the TPU relay)."""
+        rec["vals"] = np.asarray(rec["aux"].packed)
+        n_inst = int(rec["vals"][2])
         while n_inst > cap_state["cap"]:
             # 25% headroom above the observed count: densification keeps
             # emission growing between tier checks, so a bare-minimum
@@ -421,16 +434,17 @@ def train_scene(views, ref_index: int, points: np.ndarray, run: RunConfig,
                 rec["it"], n_inst, cap_state["cap"], new_cap)
             cap_state["cap"] = new_cap
             rec = launch(rec, rec["ts_prev"])
-            n_inst = int(rec["aux"].num_instances)
+            rec["vals"] = np.asarray(rec["aux"].packed)
+            n_inst = int(rec["vals"][2])
         rec["n_inst"] = n_inst
         return rec
 
     def commit(rec: Dict) -> TrainState:
         it, aux = rec["it"], rec["aux"]
-        # scalars here come from an already-finished step (the fetch is
-        # one iteration behind the launch) — real losses are logged every
-        # iteration without stalling the device pipeline
-        loss = float(aux.loss)
+        # scalars come from resolve()'s single packed fetch of an
+        # already-finished step — real losses are logged every iteration
+        # without stalling the device pipeline or issuing extra RPCs
+        loss = float(rec["vals"][0])
         if not np.isfinite(loss):
             # failure detection (SURVEY §5): the reference dumps kernel
             # args on CUDA failure (dgr/__init__.py:87-95); here the
@@ -446,7 +460,7 @@ def train_scene(views, ref_index: int, points: np.ndarray, run: RunConfig,
                 "iter %d/%d loss %.5f anchors %d instances %d "
                 "(%.1f it/s)", it, iters, loss, anchors, rec["n_inst"],
                 it / max(time.time() - t_start, 1e-9))
-            mlog.log(it, {"loss": loss, "l1": float(aux.l1),
+            mlog.log(it, {"loss": loss, "l1": float(rec["vals"][1]),
                           "iter_time": rec["dispatch_s"],
                           "total_points": anchors,
                           "instances": rec["n_inst"]})

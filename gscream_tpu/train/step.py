@@ -47,6 +47,21 @@ class StepAux(NamedTuple):
     num_instances: jnp.ndarray
     n_active: jnp.ndarray
     cross_ok: jnp.ndarray
+    # (5,) f32 [loss, l1, num_instances, n_active, cross_ok] — the
+    # host-facing copy of the scalars above, packed ON DEVICE so the
+    # training loop fetches ONE array per step instead of issuing one
+    # device→host round trip per scalar (each fetch is a full RPC behind
+    # the TPU relay; counts are exact in f32 below 2²⁴)
+    packed: jnp.ndarray = None
+
+
+def pack_aux(loss, l1, num_instances, n_active, cross_ok) -> StepAux:
+    f = jnp.float32
+    packed = jnp.stack([
+        loss.astype(f), l1.astype(f), num_instances.astype(f),
+        n_active.astype(f), cross_ok.astype(f)])
+    return StepAux(loss=loss, l1=l1, num_instances=num_instances,
+                   n_active=n_active, cross_ok=cross_ok, packed=packed)
 
 
 def render_from_params(params, mlps, scaffold: ScaffoldState, camera: Camera,
@@ -327,8 +342,6 @@ def train_step(ts: TrainState, camera: Camera, gt_image, gt_mask,
     # overflow_demand folds the instance count and the row-tight row-table
     # demand (capacity//2) into one capacity-comparable number, so the
     # loop's single tier check/retry covers both static tables
-    aux = StepAux(loss=loss, l1=l1,
-                  num_instances=overflow_demand(binning),
-                  n_active=jnp.sum(dec.active.astype(jnp.int32)),
-                  cross_ok=cross_ok)
+    aux = pack_aux(loss, l1, overflow_demand(binning),
+                   jnp.sum(dec.active.astype(jnp.int32)), cross_ok)
     return new_ts, aux
