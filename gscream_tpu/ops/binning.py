@@ -319,10 +319,100 @@ def bin_instances(splats: Splats, capacity: int, width: int, height: int,
     row_tight = bool(row_tight) and splats.t_iso is not None
 
     if expand == "auto":
-        expand = os.environ.get("GSCREAM_EXPAND", "xla")
+        # r5 hardware default: the transposed big-block expansion kernels
+        # (emission.py) beat the XLA emission build 93.6 → 87.6 ms at the
+        # bench tier; on CPU they would run in interpret mode, so the XLA
+        # build stays the non-TPU default.
+        expand = os.environ.get("GSCREAM_EXPAND", "")
+        if not expand:
+            expand = "full" if jax.default_backend() == "tpu" else "xla"
     use_expand = (row_tight and not fused_exact and attrs is None
-                  and n_gauss < (1 << 24) and expand == "pallas")
-    if row_tight:
+                  and n_gauss < (1 << 24) and expand in ("pallas", "full"))
+    use_expand1 = use_expand and expand == "full"
+    if use_expand1:
+        # -- full Pallas emission (GSCREAM_EXPAND=full): BOTH row-tight
+        # stages run as big-block windowed expansion kernels.  Stage 1's
+        # row-marks scatter+cummax and (row_cap, 10) row gather are
+        # replaced by one N-scale compaction sort (emitting gaussians to
+        # a prefix, stable in original order — so kept rows keep the
+        # exact XLA row order) + EXPAND1, which evaluates the
+        # _row_extents math in-kernel on expanded columns.  Stage 2 is
+        # the same compaction-sort + EXPAND2 pipeline as expand=pallas.
+        from .emission import expand_gauss_rows, expand_rows
+        interpret = (bool(os.environ.get("GSCREAM_PALLAS_INTERPRET"))
+                     or jax.default_backend() != "tpu")
+        f = jnp.float32
+        row_cap = row_table_size(capacity)
+        rmin_x = splats.rect_min[:, 0]
+        rmin_y = splats.rect_min[:, 1]
+        rmax_x = splats.rect_max[:, 0]
+        rmax_y = splats.rect_max[:, 1]
+        rect_h = jnp.where((splats.radius > 0) & (rmax_x > rmin_x),
+                           rmax_y - rmin_y, 0)
+        gid = jnp.arange(n_gauss, dtype=jnp.int32)
+        sA = jax.lax.sort(
+            ((rect_h <= 0).astype(jnp.int32), gid, rect_h,
+             rmin_y.astype(f), rmin_x.astype(f), rmax_x.astype(f),
+             splats.mean2d[:, 0], splats.mean2d[:, 1],
+             splats.conic[:, 0], splats.conic[:, 1], splats.conic[:, 2],
+             2.0 * splats.t_iso, splats.depth),
+            num_keys=1, is_stable=True)
+        gid_c, recth_c = sA[1], sA[2]
+        re_raw = jnp.cumsum(recth_c)
+        ro_raw = re_raw - recth_c
+        total_rows = re_raw[-1]
+        rows4 = expand_gauss_rows(
+            jnp.minimum(ro_raw, row_cap).astype(f),
+            jnp.minimum(re_raw, row_cap).astype(f),
+            gid_c.astype(f), sA[3], sA[4], sA[5], sA[6], sA[7],
+            sA[8], sA[9], sA[10], sA[11], sA[12],
+            row_cap, tile_w, tile_h, grid_x, interpret)
+        tile_base = rows4[0].astype(jnp.int32)
+        rg = rows4[1].astype(jnp.int32)
+        dep_row = _bits(rows4[2])
+        w_row = rows4[3].astype(jnp.int32)
+
+        keep = (w_row > 0).astype(jnp.int32)
+        sC = jax.lax.sort(
+            (1 - keep, tile_base, rg, dep_row, w_row),
+            num_keys=1, is_stable=True)
+        tb_c, rg_c, dep_c, w_c = sC[1], sC[2], sC[3], sC[4]
+        io_c = jnp.cumsum(w_c) - w_c
+        total = io_c[-1] + w_c[-1]
+        cols4 = expand_rows(
+            jnp.minimum(io_c, capacity).astype(f), w_c.astype(f),
+            tb_c.astype(f), rg_c.astype(f), _f32(dep_c),
+            capacity, n_tiles, interpret)
+        tile = cols4[0].astype(jnp.int32)
+        g = cols4[1].astype(jnp.int32)
+        depth_col = _bits(cols4[2])
+        rank_col = None
+        attr_src = []
+        # per-gaussian offsets: a gaussian's emission start = the prefix
+        # sum of w_row (PRE-compaction row order) at its first row —
+        # dropped rows contribute w=0 and the row compaction is stable,
+        # so this equals the compacted io_c at the gaussian's first kept
+        # row.  One row-scale cumsum + ONE gather (the r5 trace showed
+        # the old rowrank→io_c two-gather chain costing 2.3 ms each —
+        # scalar gathers pay a huge per-element toll on TPU).  Then
+        # scatter back to original gaussian order and backfill dropped
+        # gaussians from the right (flip-cummin) so ranges stay monotone
+        # ([x, x) for non-emitting gaussians — bit-equal to the XLA path)
+        iow = jnp.cumsum(w_row) - w_row
+        iow_ext = jnp.concatenate(
+            [iow, total.astype(jnp.int32).reshape(1)])
+        goffs_c = iow_ext[jnp.minimum(ro_raw, row_cap)]
+        # un-permute to original gaussian order with a 2-operand sort
+        # (gid_c is a permutation, so sorting by it restores original
+        # positions; an N-scale scatter costs ~1.5 ms, the sort ~0.5)
+        _, goffs_o = jax.lax.sort((gid_c, goffs_c), num_keys=1,
+                                  is_stable=True)
+        goffs_full = jnp.concatenate(
+            [goffs_o,
+             jnp.minimum(total, capacity).astype(jnp.int32).reshape(1)])
+        goffs = jnp.flip(jax.lax.cummin(jnp.flip(goffs_full)))[:n_gauss]
+        num_rows = total_rows.astype(jnp.int32)
+    elif row_tight:
         # -- row-tight emission: stage 1 builds the per-tile-row table
         # (gaussian-major, row-major — emission order is a strict
         # subsequence of the full-rect order, so within-tile blend order
@@ -361,17 +451,15 @@ def bin_instances(splats: Splats, capacity: int, width: int, height: int,
             depth_col = _bits(cols4[2])
             rank_col = None
             attr_src = []
-            # per-gaussian offsets through the compaction: a gaussian's
-            # first row maps to its compacted rank (empty rows inherit
-            # the next kept row's rank — exclusive cumsum), whose io_c
-            # is exactly the ioffs the XLA path reads at that row
-            rowrank = jnp.cumsum(keep) - keep
-            rr_ext = jnp.concatenate(
-                [rowrank, jnp.sum(keep, keepdims=True)])
-            io_ext = jnp.concatenate(
-                [io_c, total.astype(jnp.int32).reshape(1)])
-            first_rank = rr_ext[jnp.minimum(row_offs, row_cap)]
-            goffs = io_ext[jnp.minimum(first_rank, row_cap)]
+            # per-gaussian offsets: the row compaction is stable and
+            # dropped rows emit nothing, so the compacted io_c at a
+            # gaussian's first kept row equals the PRE-compaction ioffs
+            # at its first row — the exact read the XLA stage 2 does.
+            # One gather instead of the old rowrank→io_c chain (2 scalar
+            # gathers ≈ 2.3 ms each on hardware, r5 trace).
+            ioffs_ext = jnp.concatenate(
+                [ioffs, total.astype(jnp.int32).reshape(1)])
+            goffs = ioffs_ext[jnp.minimum(row_offs, row_cap)]
             num_rows = total_rows.astype(jnp.int32)
         else:
             first_slot = jnp.where(w_row > 0, ioffs, capacity)

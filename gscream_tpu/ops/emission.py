@@ -253,71 +253,215 @@ def _window_starts(starts, n_out: int):
 
 
 # ---------------------------------------------------------------------------
-# EXPAND-v2: big-block windowed row→instance expansion (GSCREAM_EXPAND)
+# EXPAND-v2/v3: big-block windowed expansion (GSCREAM_EXPAND)
 #
 # The r5 hardware trace showed the original KE=256 expansion grids are
 # DISPATCH-bound (~8 µs per grid step ⇒ ~40 ms at the bench tier), which
-# rejected the full Pallas emission pipeline.  This variant expands
-# KOUT=4096 outputs per grid step (320 steps at 1.31 M): one 34-block
-# window DMA per step, then 16 sub-blocks of 256 outputs, each reading a
-# dynamically-positioned 3-block (384-source) sub-window of the VMEM
-# window (Mosaic allows dynamic dim-0 slices of VMEM refs — probed on
-# hardware).  The 3-block sub-window bound requires COMPACTED sources
-# (every source emits ≥ 1 instance ⇒ 256 outputs span ≤ 257 sources,
-# + ≤ 127 alignment slack).  All table values ride as exact-in-f32
-# numbers (small ints; depth as its f32 VALUE, which is ≥ 0.2 by the
-# near clamp, so the 1.0·x indicator matmul is exact — never bitcast
-# int bit patterns through a matmul).
+# rejected the full Pallas emission pipeline.  These variants expand
+# KOUT=4096 outputs per grid step (320 steps at 1.31 M): one window DMA
+# per step, then sub-blocks of SUB outputs, each reading a dynamically-
+# positioned SWB-block sub-window of the VMEM window (Mosaic allows
+# dynamic dim-0 slices of VMEM refs — probed on hardware).  The sub-
+# window bound requires COMPACTED sources (every source emits ≥ 1
+# instance ⇒ SUB outputs span ≤ SUB+1 consecutive sources, + ≤ 127
+# alignment slack ⇒ SWB·128 ≥ SUB+128).  All table values ride as
+# exact-in-f32 numbers (small ints; depth as its f32 VALUE, which is
+# ≥ 0.2 by the near clamp, so the 1.0·x indicator matmul is exact —
+# never bitcast int bit patterns through a matmul; the 0/1 indicator
+# selects exactly one source per output, so any finite f32 passes
+# through bit-exact).
+#
+# r5 diet (v3): the whole sub-block computation runs TRANSPOSED.  The
+# v2 kernels expanded to (SUB, C) blocks and did their per-output math
+# on (SUB, 1) columns — 1/128-lane VPU utilization — plus a second
+# (eye) matmul to transpose the result for the row-major output.  v3
+# contracts the indicator directly against the table, ``tw @ selᵀ`` →
+# (C, SUB), so every downstream op works on full-lane (1, SUB) rows and
+# the output block is written without any transpose.  `has` comes from
+# one prefetched scalar total (output index < total) instead of a
+# row-reduction over the indicator.
 
 KOUT = 4096       # outputs per grid step
 SUB = 256         # outputs per sub-block
+SWB = 3           # sub-window blocks (SUB + 1 + 127 ≤ SWB·128)
 # window blocks: the last sub-block's source start is ≤ KOUT sources
 # past the first (compacted ⇒ each source emits ≥1), so its 128-aligned
-# block index is ≤ KOUT//128 + 1 past the window block, and the 3-block
-# sub-window must still fit: KOUT//128 + 1 + SWB
-SWB = 3                         # sub-window blocks (SUB+1+127 ≤ 384)
+# block index is ≤ KOUT//128 + 1 past the window block, and the SWB-block
+# sub-window must still fit
 WBV = KOUT // 128 + 1 + SWB
+NSUB = KOUT // SUB
+
+
+def _sub_window(buf, sp_ref, b: int, k: int, w0b):
+    """The k-th sub-block's (C, SWB·128) source window + output iotas
+    ((SUB, 1) column for the indicator build, (1, SUB) row for the
+    per-output math)."""
+    jb = sp_ref[b, 1 + k] // 128 - w0b
+    twb = buf[pl.ds(jb, SWB)]                      # (SWB, C, 128)
+    tw = jnp.concatenate([twb[j] for j in range(SWB)],
+                         axis=1)                   # (C, SWB*128)
+    o0 = jnp.float32(b * KOUT + k * SUB)
+    of_c = o0 + jax.lax.broadcasted_iota(
+        jnp.int32, (SUB, 1), 0).astype(jnp.float32)
+    of_r = o0 + jax.lax.broadcasted_iota(
+        jnp.int32, (1, SUB), 1).astype(jnp.float32)
+    return tw, of_c, of_r
+
+
+def _expand_t(tw, of_c, starts, ends):
+    """(C, SUB) expanded rows: source s with start ≤ output < end.
+    The 0/1 indicator selects exactly one source per live output, so
+    any finite f32 table value passes through the MXU bit-exact."""
+    sel = ((of_c >= starts) & (of_c < ends)).astype(jnp.float32)
+    return jax.lax.dot_general(
+        tw, sel, (((1,), (1,)), ((), ())),
+        precision=_HIGHEST, preferred_element_type=jnp.float32)
 
 
 def _expand_rows_kernel(n_tiles: int, sp_ref, tab_hbm, out_ref, buf,
                         sem):
     """tab rows: [io, w, tile_base, rg, depth] (+3 pad), compacted.
-    sp_ref: per grid step, [window block offset, 16 × sub-block source
-    row] (17 int32 per step).  Out rows: [tile, g, depth, has] (+4 pad),
-    one column per instance slot."""
+    sp_ref: per grid step, [window block offset, NSUB × sub-block source
+    row, clamped total] (NSUB+2 int32 per step).  Out rows: [tile, g,
+    depth, has] (+4 pad), one column per instance slot."""
     b = pl.program_id(0)
     w0b = sp_ref[b, 0]
     cp = pltpu.make_async_copy(tab_hbm.at[pl.ds(w0b, WBV)], buf, sem)
     cp.start()
     cp.wait()
+    totf = sp_ref[b, 1 + NSUB].astype(jnp.float32)
 
-    eye8 = (jax.lax.broadcasted_iota(jnp.int32, (8, 8), 0)
-            == jax.lax.broadcasted_iota(jnp.int32, (8, 8), 1)
-            ).astype(jnp.float32)
-    for k in range(KOUT // SUB):
-        jb = sp_ref[b, 1 + k] // 128 - w0b
-        tw3 = buf[pl.ds(jb, SWB)]                  # (SWB, 8, 128)
-        tw = jnp.concatenate([tw3[j] for j in range(SWB)],
-                             axis=1)               # (8, SWB*128)
-        of = (jnp.float32(b * KOUT + k * SUB)
-              + jax.lax.broadcasted_iota(
-                  jnp.int32, (SUB, 1), 0).astype(jnp.float32))
-        starts = tw[0:1, :]
-        ends = starts + tw[1:2, :]
-        sel = ((of >= starts) & (of < ends)).astype(jnp.float32)
-        ex = jax.lax.dot_general(
-            sel, tw, (((1,), (1,)), ((), ())),
-            precision=_HIGHEST, preferred_element_type=jnp.float32)
-        has = (jnp.sum(sel, axis=1, keepdims=True) > 0.5)
+    for k in range(NSUB):
+        tw, of_c, of_r = _sub_window(buf, sp_ref, b, k, w0b)
+        ex = _expand_t(tw, of_c, tw[0:1, :], tw[0:1, :] + tw[1:2, :])
+        has = of_r < totf
         hasf = has.astype(jnp.float32)
-        local = of - ex[:, 0:1]
-        tile = jnp.where(has, ex[:, 2:3] + local, jnp.float32(n_tiles))
-        cols = jnp.concatenate(
-            [tile, ex[:, 3:4] * hasf, ex[:, 4:5] * hasf, hasf,
-             jnp.zeros((SUB, 4), jnp.float32)], axis=1)      # (SUB, 8)
-        out_ref[:, k * SUB:(k + 1) * SUB] = jax.lax.dot_general(
-            eye8, cols, (((1,), (1,)), ((), ())),
-            precision=_HIGHEST, preferred_element_type=jnp.float32)
+        local = of_r - ex[0:1, :]
+        tile = jnp.where(has, ex[2:3, :] + local, jnp.float32(n_tiles))
+        out_ref[:, k * SUB:(k + 1) * SUB] = jnp.concatenate(
+            [tile, ex[3:4, :] * hasf, ex[4:5, :] * hasf, hasf,
+             jnp.zeros((4, SUB), jnp.float32)], axis=0)      # (8, SUB)
+
+
+def _expand_gauss_kernel(tile_w: int, tile_h: int, grid_x: int,
+                         sp_ref, tab_hbm, out_ref, buf, sem):
+    """Big-block EXPAND1: compacted gaussians → per-tile-row table.
+
+    tab rows: [ro, re, gid, ymin, rxmin, rxmax, mx, my, ca, cb, cc, t2,
+    depth] (+3 pad), compacted (every live source emits ≥ 1 row).
+    sp_ref per grid step: [window block offset, NSUB × sub-block source
+    row, clamped total_rows].  Out rows: [tile_base, gid, depth, w_row]
+    (+4 pad), one column per tile-row slot.  The row iso-extents math
+    mirrors :func:`~gscream_tpu.ops.binning._row_extents` expression by
+    expression (same f32 rounding — the parity suite asserts
+    bit-identical w_row/tile_base against the XLA stage 1).
+    """
+    b = pl.program_id(0)
+    w0b = sp_ref[b, 0]
+    cp = pltpu.make_async_copy(tab_hbm.at[pl.ds(w0b, WBV)], buf, sem)
+    cp.start()
+    cp.wait()
+    totf = sp_ref[b, 1 + NSUB].astype(jnp.float32)
+
+    f = jnp.float32
+    for k in range(NSUB):
+        tw, of_c, of_r = _sub_window(buf, sp_ref, b, k, w0b)
+        ex = _expand_t(tw, of_c, tw[0:1, :], tw[1:2, :])
+        has = of_r < totf
+        hasf = has.astype(jnp.float32)
+
+        local = of_r - ex[0:1, :]
+        ty = ex[3:4, :] + local
+        r_xmin, r_xmax = ex[4:5, :], ex[5:6, :]
+        mx, my = ex[6:7, :], ex[7:8, :]
+        ca, cb, cc = ex[8:9, :], ex[9:10, :], ex[10:11, :]
+        t2 = ex[11:12, :]
+
+        lo = ty * f(tile_h) - my - f(0.25)
+        hi = lo + f(tile_h - 1) + f(0.5)
+        q = ca * cc - cb * cb
+        qs = jnp.maximum(q, 1e-20)
+        cs = jnp.maximum(cc, 1e-20)
+        a_s = jnp.maximum(ca, 1e-20)
+        hx = jnp.sqrt(jnp.maximum(t2 * cs / qs, 0.0))
+        hy = jnp.sqrt(jnp.maximum(t2 * a_s / qs, 0.0))
+        lc = jnp.maximum(lo, -hy)
+        uc = jnp.minimum(hi, hy)
+
+        def sqrt_d(dy):
+            return jnp.sqrt(jnp.maximum(t2 * ca - q * dy * dy, 0.0))
+
+        dxp_l = (-cb * lc + sqrt_d(lc)) / a_s
+        dxp_u = (-cb * uc + sqrt_d(uc)) / a_s
+        dxm_l = (-cb * lc - sqrt_d(lc)) / a_s
+        dxm_u = (-cb * uc - sqrt_d(uc)) / a_s
+        dyv = -cb * jnp.sqrt(jnp.maximum(t2 / (cs * qs), 0.0))
+        xhi = jnp.maximum(dxp_l, dxp_u)
+        xhi = jnp.where((dyv >= lc - 1.0) & (dyv <= uc + 1.0),
+                        jnp.maximum(xhi, hx), xhi)
+        xlo = jnp.minimum(dxm_l, dxm_u)
+        xlo = jnp.where((-dyv >= lc - 1.0) & (-dyv <= uc + 1.0),
+                        jnp.minimum(xlo, -hx), xlo)
+
+        txmin = jnp.maximum(jnp.floor((mx + xlo - 0.25) / tile_w), r_xmin)
+        txmax = jnp.minimum(jnp.floor((mx + xhi + 0.25) / tile_w) + 1.0,
+                            r_xmax)
+        tight = t2 > 0.0
+        txmin = jnp.where(tight, txmin, r_xmin)
+        txmax = jnp.where(tight, txmax, r_xmax)
+        w_row = jnp.maximum(txmax - txmin, 0.0)
+        w_row = jnp.where(has & ((lc <= uc) | ~tight), w_row, 0.0)
+
+        tb = (ty * f(grid_x) + txmin) * hasf
+        out_ref[:, k * SUB:(k + 1) * SUB] = jnp.concatenate(
+            [tb, ex[2:3, :] * hasf, ex[12:13, :] * hasf, w_row,
+             jnp.zeros((4, SUB), jnp.float32)], axis=0)      # (8, SUB)
+
+
+def expand_gauss_rows(ro_c, re_c, gid_c, ymin_c, rxmin_c, rxmax_c,
+                      mx_c, my_c, ca_c, cb_c, cc_c, t2_c, depth_c,
+                      row_cap: int, tile_w: int, tile_h: int,
+                      grid_x: int, interpret: bool):
+    """Compacted gaussian table → per-tile-row (tile_base, gid, depth,
+    w_row) columns via the big-block EXPAND1 kernel.
+
+    All inputs (n_pad,) f32 with exact-in-f32 values except the conic /
+    t2 / depth columns, which pass through the 0/1 indicator matmul
+    bit-exact (one source per output).  ``ro_c``/``re_c`` are the
+    clamped exclusive/inclusive row-range bounds.  Returns
+    (4, row_cap) f32.
+    """
+    rcap_pad = -(-row_cap // KOUT) * KOUT
+    tab = _blocked_table(
+        [ro_c, re_c, gid_c, ymin_c, rxmin_c, rxmax_c, mx_c, my_c,
+         ca_c, cb_c, cc_c, t2_c, depth_c],
+        -(-ro_c.shape[0] // 128) * 128 + WBV * 128)
+    nblk = rcap_pad // KOUT
+    o0 = jnp.arange(nblk * NSUB, dtype=jnp.int32) * SUB
+    src = jnp.maximum(
+        jnp.searchsorted(ro_c, o0, side="right").astype(jnp.int32) - 1, 0)
+    sub_rows = src.reshape(nblk, NSUB)
+    w0b = sub_rows[:, 0] // 128
+    tot = jnp.minimum(re_c[-1].astype(jnp.int32), row_cap)
+    sp = jnp.concatenate(
+        [w0b[:, None], sub_rows,
+         jnp.broadcast_to(tot, (nblk,))[:, None]], axis=1)
+    out = pl.pallas_call(
+        functools.partial(_expand_gauss_kernel, tile_w, tile_h, grid_x),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(nblk,),
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+            out_specs=pl.BlockSpec((8, KOUT), lambda b, sp: (0, b)),
+            scratch_shapes=[
+                pltpu.VMEM((WBV, tab.shape[1], 128), jnp.float32),
+                pltpu.SemaphoreType.DMA(()),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((8, rcap_pad), jnp.float32),
+        interpret=interpret,
+    )(sp, tab)
+    return out[:4, :row_cap]
 
 
 def expand_rows(io_c, w_c, tile_base_c, rg_c, depth_c, capacity: int,
@@ -335,12 +479,15 @@ def expand_rows(io_c, w_c, tile_base_c, rg_c, depth_c, capacity: int,
     tab = _blocked_table([io_c, w_c, tile_base_c, rg_c, depth_c],
                          -(-row_cap // 128) * 128 + WBV * 128)
     nblk = cap_pad // KOUT
-    o0 = jnp.arange(nblk * (KOUT // SUB), dtype=jnp.int32) * SUB
+    o0 = jnp.arange(nblk * NSUB, dtype=jnp.int32) * SUB
     src = jnp.maximum(
         jnp.searchsorted(io_c, o0, side="right").astype(jnp.int32) - 1, 0)
-    sub_rows = src.reshape(nblk, KOUT // SUB)
+    sub_rows = src.reshape(nblk, NSUB)
     w0b = sub_rows[:, 0] // 128
-    sp = jnp.concatenate([w0b[:, None], sub_rows], axis=1)   # (nblk, 17)
+    tot = jnp.minimum((io_c[-1] + w_c[-1]).astype(jnp.int32), capacity)
+    sp = jnp.concatenate(
+        [w0b[:, None], sub_rows,
+         jnp.broadcast_to(tot, (nblk,))[:, None]], axis=1)  # (nblk, NSUB+2)
     out = pl.pallas_call(
         functools.partial(_expand_rows_kernel, n_tiles),
         grid_spec=pltpu.PrefetchScalarGridSpec(

@@ -957,11 +957,15 @@ def segment_reduce_cm(ge_cols, offsets, n_gauss: int, interpret: bool):
     n_pad = -(-n_gauss // SEG_GB) * SEG_GB
     offs = jnp.pad(offsets, (0, n_pad + 1 - offsets.shape[0]), mode="edge")
     offs = jnp.minimum(offs, cap)
-    idx = (jnp.arange(n_pad // SEG_GB)[:, None] * SEG_GB
-           + jnp.arange(SEG_GB + 1)[None, :])
-    off_blocks = offs[idx][..., None]              # (n_blocks, SEG_GB+1, 1)
-
     n_blocks = n_pad // SEG_GB
+    # per-block overlapped offset windows: rows [b·GB .. b·GB+GB]
+    # inclusive — a reshape plus a strided slice for the +1 overlap
+    # column, NOT a fancy-index (the r5 trace showed the equivalent
+    # (n_blocks, GB+1) gather costing 2.2 ms — scalar gathers pay a
+    # huge per-element toll on TPU)
+    off_blocks = jnp.concatenate(
+        [offs[:n_pad].reshape(n_blocks, SEG_GB),
+         offs[SEG_GB::SEG_GB][:n_blocks, None]], axis=1)[..., None]
     out = pl.pallas_call(
         _segreduce_cm_kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -1131,12 +1135,13 @@ def segment_reduce_grads(conv, binning: Binning, n_gauss: int,
     n_pad = -(-n_gauss // SEG_GB) * SEG_GB
     offs = jnp.pad(binning.offsets, (0, n_pad + 1 - binning.offsets.shape[0]),
                    mode="edge")
-    # per-block overlapped offset windows (SEG_GB+1 each), sublane-major
-    idx = (jnp.arange(n_pad // SEG_GB)[:, None] * SEG_GB
-           + jnp.arange(SEG_GB + 1)[None, :])
-    off_blocks = offs[idx][..., None]              # (n_blocks, SEG_GB+1, 1)
-
     n_blocks = n_pad // SEG_GB
+    # per-block overlapped offset windows (SEG_GB+1 each): reshape plus
+    # a strided slice for the overlap column, not a fancy-index (see
+    # segment_reduce_cm)
+    off_blocks = jnp.concatenate(
+        [offs[:n_pad].reshape(n_blocks, SEG_GB),
+         offs[SEG_GB::SEG_GB][:n_blocks, None]], axis=1)[..., None]
     out = pl.pallas_call(
         _segreduce_kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(

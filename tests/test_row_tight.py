@@ -201,18 +201,20 @@ def test_fullrect_when_no_tiso():
                                   np.asarray(b0.gauss_id))
 
 
-def test_expand_pallas_matches_xla():
-    """GSCREAM_EXPAND=pallas (compaction sort + windowed indicator-matmul
-    expansion) reproduces the XLA stage-2 build EXACTLY on every consumed
-    Binning field: table values travel as exact-in-f32 numbers, so tile,
-    gauss, depth bits, ranges, and per-gaussian offsets are bit-equal.
-    (gauss_id/depth at invalid slots past num_instances may differ — both
-    paths emit finite don't-care values there.)"""
+@pytest.mark.parametrize("mode", ["pallas", "full"])
+def test_expand_pallas_matches_xla(mode):
+    """GSCREAM_EXPAND=pallas/full (compaction sort + windowed indicator-
+    matmul expansion; ``full`` additionally runs stage 1 — the row-extent
+    math — in the EXPAND1 kernel) reproduces the XLA build EXACTLY on
+    every consumed Binning field: table values travel as exact-in-f32
+    numbers, so tile, gauss, depth bits, ranges, and per-gaussian offsets
+    are bit-equal.  (gauss_id/depth at invalid slots past num_instances
+    may differ — both paths emit finite don't-care values there.)"""
     for seed in (0, 3):
         cam, splats, colors, op, unc, W, H = _scene(seed)
         cap = 1 << 16
         a = bin_instances(splats, cap, W, H, TW, TH, expand="xla")
-        b = bin_instances(splats, cap, W, H, TW, TH, expand="pallas")
+        b = bin_instances(splats, cap, W, H, TW, TH, expand=mode)
         n = int(a.num_instances)
         assert n > 0 and n <= cap
         assert int(b.num_instances) == n
@@ -231,13 +233,14 @@ def test_expand_pallas_matches_xla():
                                       np.asarray(b.offsets))
 
 
-def test_expand_pallas_overflow_truncates_like_xla():
-    """At an overflowing capacity both stage-2 builds truncate to the
+@pytest.mark.parametrize("mode", ["pallas", "full"])
+def test_expand_pallas_overflow_truncates_like_xla(mode):
+    """At an overflowing capacity both builds truncate to the
     same deterministic prefix and report the same true demand."""
     cam, splats, colors, op, unc, W, H = _scene(1)
     cap = 4096
     a = bin_instances(splats, cap, W, H, TW, TH, expand="xla")
-    b = bin_instances(splats, cap, W, H, TW, TH, expand="pallas")
+    b = bin_instances(splats, cap, W, H, TW, TH, expand=mode)
     assert int(a.num_instances) == int(b.num_instances)
     assert int(overflow_demand(a)) == int(overflow_demand(b))
     n = min(int(a.num_instances), cap)
